@@ -1,0 +1,15 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+All tests run on CPU so that the mesh/pjit paths are exercised without TPU
+hardware (SURVEY.md §4: multi-device CPU simulation). Must be set before jax
+is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
