@@ -7,9 +7,14 @@ is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin can override JAX_PLATFORMS; pin via jax.config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
