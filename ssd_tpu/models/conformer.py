@@ -1,0 +1,234 @@
+"""Conformer EMG encoder (flax).
+
+Behavioral rebuild of the reference encoder (``src/models/emg_encoder.py``):
+a strided-conv temporal subsampler followed by N Conformer blocks with
+torchaudio ``models.Conformer`` semantics —
+
+* macaron half-residual feed-forward sandwiches (LayerNorm → Linear → SiLU →
+  Dropout → Linear → Dropout, scaled by ½),
+* multi-head self-attention with a key-padding mask and **no positional
+  encoding** (the depthwise conv module carries position),
+* conv module: LayerNorm → pointwise 2d → GLU → depthwise(k) → BatchNorm →
+  SiLU → pointwise → Dropout,
+* per-block final LayerNorm.
+
+Length arithmetic of the subsampler replays the conv formula
+``floor((L + 2p − k)/s) + 1`` exactly (reference ``emg_encoder.py:67-74``) —
+required for CTC length parity.
+
+All shapes are static; padding is handled with masks so a single compiled
+executable serves a length bucket.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Mirrors the reference ``EncoderConfig`` (``emg_encoder.py:13-22``)."""
+
+    input_dim: int
+    d_model: int = 256
+    num_layers: int = 6
+    num_heads: int = 4
+    ffn_dim: int = 512
+    depthwise_conv_kernel_size: int = 15
+    dropout: float = 0.1
+    subsample_factor: int = 4
+    conv_norm: str = "batch"  # batch (torchaudio parity) | layer
+
+    def conv_meta(self) -> list[dict]:
+        """(kernel, stride, padding) per subsampler conv — length arithmetic."""
+        metas = []
+        remaining = self.subsample_factor
+        while remaining > 1:
+            metas.append({"kernel_size": 5, "stride": 2, "padding": 2})
+            remaining //= 2
+        if not metas:
+            metas.append({"kernel_size": 1, "stride": 1, "padding": 0})
+        return metas
+
+
+def subsampled_lengths(lengths: jnp.ndarray, cfg: EncoderConfig) -> jnp.ndarray:
+    out = lengths
+    for m in cfg.conv_meta():
+        out = (out + 2 * m["padding"] - m["kernel_size"]) // m["stride"] + 1
+    return out
+
+
+def _length_mask(lengths: jnp.ndarray, t: int) -> jnp.ndarray:
+    """(B,) lengths → (B, t) bool validity mask."""
+    return jnp.arange(t)[None, :] < lengths[:, None]
+
+
+class Conv1dSubsampler(nn.Module):
+    """Temporal ×2ᵏ subsampling with stride-2 convs + ReLU (k=5, p=2)."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        metas = self.cfg.conv_meta()
+        for i, m in enumerate(metas):
+            x = nn.Conv(
+                features=self.cfg.d_model,
+                kernel_size=(m["kernel_size"],),
+                strides=(m["stride"],),
+                padding=[(m["padding"], m["padding"])],
+                name=f"conv_{i}",
+            )(x)
+            if m["stride"] > 1:
+                x = nn.relu(x)
+        return x
+
+
+class _FeedForward(nn.Module):
+    d_model: int
+    ffn_dim: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.LayerNorm(name="ln")(x)
+        x = nn.Dense(self.ffn_dim, name="w1")(x)
+        x = nn.silu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.d_model, name="w2")(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics ignore padded frames.
+
+    Departure from torchaudio (which normalizes over padded frames too),
+    chosen deliberately: with length-bucketed static shapes the model output
+    must not depend on the bucket's padded length. Running stats live in the
+    ``batch_stats`` collection, torch-compatible momentum 0.1 (flax 0.9).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        d = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((d,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((d,)))
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+
+        if train:
+            m = mask[:, :, None].astype(x.dtype)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=(0, 1)) / cnt
+            var = jnp.sum(((x - mean) ** 2) * m, axis=(0, 1)) / cnt
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return scale * (x - mean) * jax.lax.rsqrt(var + self.epsilon) + bias
+
+
+class _ConvModule(nn.Module):
+    d_model: int
+    kernel_size: int
+    dropout: float
+    conv_norm: str
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.LayerNorm(name="ln")(x)
+        x = nn.Dense(2 * self.d_model, name="pw1")(x)  # pointwise conv ≡ dense
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * nn.sigmoid(b)  # GLU
+        # zero padded frames so the depthwise conv sees the same zeros a
+        # shorter bucket would — exact padding invariance
+        x = jnp.where(pad_mask[:, :, None], x, 0.0)
+        pad = (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            features=self.d_model,
+            kernel_size=(self.kernel_size,),
+            padding=[(pad, pad)],
+            feature_group_count=self.d_model,
+            name="dw",
+        )(x)
+        if self.conv_norm == "batch":
+            x = MaskedBatchNorm(name="bn")(x, pad_mask, train)
+        else:
+            x = nn.LayerNorm(name="cn")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.d_model, name="pw2")(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class _SelfAttention(nn.Module):
+    d_model: int
+    num_heads: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.LayerNorm(name="ln")(x)
+        # key-padding mask: every query may attend to all *valid* keys
+        attn_mask = pad_mask[:, None, None, :]  # (B, 1, 1, T)
+        x = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            name="mha",
+        )(x, x, mask=attn_mask)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class ConformerBlock(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        c = self.cfg
+        x = x + 0.5 * _FeedForward(c.d_model, c.ffn_dim, c.dropout, name="ffn1")(x, train)
+        x = x + _SelfAttention(c.d_model, c.num_heads, c.dropout, name="attn")(
+            x, pad_mask, train
+        )
+        x = x + _ConvModule(
+            c.d_model, c.depthwise_conv_kernel_size, c.dropout, c.conv_norm, name="conv"
+        )(x, pad_mask, train)
+        x = x + 0.5 * _FeedForward(c.d_model, c.ffn_dim, c.dropout, name="ffn2")(x, train)
+        return nn.LayerNorm(name="final_ln")(x)
+
+
+class EMGConformerEncoder(nn.Module):
+    """Subsampler + Conformer stack. Returns (hidden, out_lengths)."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        x = Conv1dSubsampler(c, name="subsample")(x)
+        t_out = x.shape[1]
+        if lengths is None:
+            lengths = jnp.full((x.shape[0],), x.shape[1] * c.subsample_factor)
+        out_lengths = jnp.clip(subsampled_lengths(lengths, c), 0, t_out)
+        pad_mask = _length_mask(out_lengths, t_out)
+        for i in range(c.num_layers):
+            x = ConformerBlock(c, name=f"block_{i}")(x, pad_mask, train)
+        # zero padded frames (torchaudio masks attention only, but downstream
+        # losses/decoders here consume masked positions explicitly anyway)
+        x = jnp.where(pad_mask[:, :, None], x, 0.0)
+        return x, out_lengths
