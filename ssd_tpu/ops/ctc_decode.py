@@ -1,0 +1,324 @@
+"""Batched on-device CTC decoding: greedy and prefix beam search.
+
+The reference decodes on CPU — greedy with Python loops and beam search via a
+per-utterance ``pyctcdecode`` call (``src/decoding/ctc.py:16-99``), which the
+blog identifies as ~10× slower than greedy. Here both decoders are batched
+``lax.scan``s over time that run on TPU next to the encoder.
+
+Beam search semantics follow pyctcdecode's prefix search closely enough for
+CER parity (reference ``ctc.py:47-99``):
+
+* pad probability mass is log-add-merged into blank *before* decoding and the
+  pad symbol never extends a prefix (reference ``ctc.py:61-87``);
+* additive ``blank_bias`` on the blank log-prob;
+* per-frame token admission: tokens with log-prob below ``token_min_logp``
+  are not considered unless they are the frame argmax (pyctcdecode default
+  −5.0);
+* per-step beam pruning: beams scoring below ``best + beam_prune_logp`` die;
+* duplicate prefixes are merged by log-sum-exp of their (blank, non-blank)
+  path probabilities. Prefix identity is tracked with two independent 32-bit
+  rolling hashes; candidates are lex-sorted by the hash pair and merged with a
+  segmented log-sum-exp ``associative_scan`` — no host dicts.
+
+The scan emits per-step backpointers ``(parent_beam, emitted_char)``; the full
+prefix is reconstructed afterwards (host-side numpy — tiny traffic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1.0e30
+
+# rolling-hash multipliers (two independent streams → collision ~2⁻⁶⁴ scale)
+_H1_MULT = np.uint32(1000003)
+_H2_MULT = np.uint32(65599)
+
+
+# --------------------------------------------------------------------------
+# Greedy
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("blank_id", "pad_id"))
+def greedy_decode(
+    log_probs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    blank_id: int,
+    pad_id: int = 0,
+    blank_bias: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized argmax–collapse–dedup decode.
+
+    Returns ``(tokens (B, T) int32 padded with pad_id, counts (B,))``.
+    """
+    B, T, V = log_probs.shape
+    if blank_bias != 0.0:
+        log_probs = log_probs.at[:, :, blank_id].add(blank_bias)
+    preds = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)  # (B, T)
+
+    valid = jnp.arange(T)[None, :] < lengths[:, None]
+    prev = jnp.pad(preds[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    keep = valid & (preds != blank_id) & (preds != prev)
+
+    # stable compaction: position of each kept token in the output row
+    pos = jnp.cumsum(keep, axis=1) - 1
+    out = jnp.full((B, T + 1), pad_id, jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    out = out.at[rows, jnp.where(keep, pos, T)].set(
+        jnp.where(keep, preds, pad_id), mode="drop"
+    )
+    counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return out[:, :T], counts
+
+
+# --------------------------------------------------------------------------
+# Prefix beam search
+# --------------------------------------------------------------------------
+
+
+def _segmented_logsumexp(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """Per-run logaddexp along the last axis.
+
+    ``starts`` marks the first element of each run. Returns an array where the
+    **last** element of each run holds the run's log-sum; other positions hold
+    prefix partial sums (callers mask them out).
+    """
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.logaddexp(av, bv)), af | bf
+
+    out, _ = jax.lax.associative_scan(combine, (values, starts), axis=-1)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blank_id", "pad_id", "beam_width"),
+)
+def beam_search(
+    log_probs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    blank_id: int,
+    pad_id: int,
+    beam_width: int,
+    beam_prune_logp: float = -10.0,
+    token_min_logp: float = -5.0,
+    blank_bias: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched CTC prefix beam search.
+
+    Args:
+      log_probs: ``(B, T, V)`` log-softmax outputs.
+      lengths: ``(B,)`` valid frame counts.
+
+    Returns:
+      ``(chars (T, B, K) int32, parents (T, B, K) int32, final_scores
+      (B, K))`` — per-step backpointers (char −1 ⇒ no emission) plus final
+      beam scores, to be reconstructed with :func:`traceback`. Beam 0 of the
+      final step is the best hypothesis.
+    """
+    B, T, V = log_probs.shape
+    K = beam_width
+
+    lp = log_probs.astype(jnp.float32)
+    if blank_bias != 0.0:
+        lp = lp.at[:, :, blank_id].add(blank_bias)
+    if pad_id != blank_id:
+        # merge pad mass into blank; pad can then never be emitted
+        lp = lp.at[:, :, blank_id].set(
+            jnp.logaddexp(lp[:, :, blank_id], lp[:, :, pad_id])
+        )
+
+    token_ids = jnp.arange(V, dtype=jnp.int32)
+    ext_invalid = (token_ids == blank_id) | (token_ids == pad_id)  # (V,)
+
+    # carry: p_b, p_nb, h1, h2, last, alive  — each (B, K)
+    p_b0 = jnp.full((B, K), NEG_INF).at[:, 0].set(0.0)
+    p_nb0 = jnp.full((B, K), NEG_INF)
+    h1_0 = jnp.zeros((B, K), jnp.uint32)
+    h2_0 = jnp.zeros((B, K), jnp.uint32)
+    last0 = jnp.full((B, K), -1, jnp.int32)
+
+    n_cand = K * (V + 1)
+
+    def step(carry, inputs):
+        p_b, p_nb, h1, h2, last = carry
+        lp_t, t_idx = inputs  # (B, V), scalar
+
+        # token admission (pyctcdecode): below token_min_logp → only argmax
+        argmax_v = jnp.argmax(lp_t, axis=-1)  # (B,)
+        admitted = (lp_t >= token_min_logp) | (
+            token_ids[None, :] == argmax_v[:, None]
+        )  # (B, V)
+        lp_adm = jnp.where(admitted, lp_t, NEG_INF)
+
+        p_tot = jnp.logaddexp(p_b, p_nb)  # (B, K)
+        lp_blank = lp_adm[:, None, blank_id]  # (B, 1)
+
+        # ---- stay candidates (one per beam): prefix unchanged
+        stay_pb = p_tot + lp_blank  # (B, K)
+        lp_last = jnp.take_along_axis(
+            lp_adm, jnp.clip(last, 0, V - 1), axis=1
+        )  # (B, K)
+        stay_pnb = jnp.where(last >= 0, p_nb + lp_last, NEG_INF)
+
+        # ---- extension candidates (per beam × token)
+        lp_ext = jnp.where(ext_invalid[None, None, :], NEG_INF, lp_adm[:, None, :])
+        same_as_last = token_ids[None, None, :] == last[:, :, None]  # (B, K, V)
+        base = jnp.where(same_as_last, p_b[:, :, None], p_tot[:, :, None])
+        ext_pnb = base + lp_ext  # (B, K, V)
+        ext_pb = jnp.full((B, K, V), NEG_INF)
+
+        # hashes
+        vv = token_ids.astype(jnp.uint32) + jnp.uint32(1)
+        ext_h1 = h1[:, :, None] * _H1_MULT + vv[None, None, :]
+        ext_h2 = h2[:, :, None] * _H2_MULT + vv[None, None, :]
+
+        # ---- flatten candidates: [stay (K), ext (K·V)]
+        cand_pb = jnp.concatenate([stay_pb, ext_pb.reshape(B, K * V)], axis=1)
+        cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(B, K * V)], axis=1)
+        cand_h1 = jnp.concatenate([h1, ext_h1.reshape(B, K * V)], axis=1)
+        cand_h2 = jnp.concatenate([h2, ext_h2.reshape(B, K * V)], axis=1)
+        parent = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K)),
+                jnp.broadcast_to(
+                    jnp.repeat(jnp.arange(K, dtype=jnp.int32), V)[None], (B, K * V)
+                ),
+            ],
+            axis=1,
+        )
+        cand_char = jnp.concatenate(
+            [
+                jnp.full((B, K), -1, jnp.int32),
+                jnp.broadcast_to(jnp.tile(token_ids, K)[None], (B, K * V)),
+            ],
+            axis=1,
+        )
+        cand_last = jnp.concatenate(
+            [last, jnp.broadcast_to(jnp.tile(token_ids, K)[None], (B, K * V))], axis=1
+        )
+
+        # ---- merge duplicates: lex-sort by hash pair, segmented logsumexp
+        (s_h1, s_h2, s_pb, s_pnb, s_parent, s_char, s_last) = jax.lax.sort(
+            (cand_h1, cand_h2, cand_pb, cand_pnb, parent, cand_char, cand_last),
+            dimension=1,
+            num_keys=2,
+        )
+        new_seg = jnp.concatenate(
+            [
+                jnp.ones((B, 1), bool),
+                (s_h1[:, 1:] != s_h1[:, :-1]) | (s_h2[:, 1:] != s_h2[:, :-1]),
+            ],
+            axis=1,
+        )
+        m_pb = _segmented_logsumexp(s_pb, new_seg)
+        m_pnb = _segmented_logsumexp(s_pnb, new_seg)
+        run_last = jnp.concatenate([new_seg[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+        score = jnp.where(run_last, jnp.logaddexp(m_pb, m_pnb), NEG_INF)
+
+        # dead-prefix guard: hash streams of dead beams are all-equal zero;
+        # their scores are NEG_INF so top-k only picks them when nothing else
+        top_score, top_idx = jax.lax.top_k(score, K)
+
+        def pick(x):
+            return jnp.take_along_axis(x, top_idx, axis=1)
+
+        n_pb, n_pnb = pick(m_pb), pick(m_pnb)
+        n_h1, n_h2 = pick(s_h1), pick(s_h2)
+        n_parent, n_char, n_last = pick(s_parent), pick(s_char), pick(s_last)
+
+        # beam pruning relative to the best beam
+        best = top_score[:, :1]
+        dead = top_score < best + beam_prune_logp
+        n_pb = jnp.where(dead, NEG_INF, n_pb)
+        n_pnb = jnp.where(dead, NEG_INF, n_pnb)
+
+        # frames beyond a sample's length leave its beams untouched
+        active = (t_idx < lengths)[:, None]  # (B, 1)
+
+        def keep(new, old):
+            return jnp.where(active, new, old)
+
+        out_carry = (
+            keep(n_pb, p_b),
+            keep(n_pnb, p_nb),
+            keep(n_h1, h1),
+            keep(n_h2, h2),
+            keep(n_last, last),
+        )
+        # backpointers: identity transition for frozen samples
+        bp_parent = jnp.where(
+            active, n_parent, jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K))
+        )
+        bp_char = jnp.where(active, n_char, jnp.full((B, K), -1, jnp.int32))
+        return out_carry, (bp_char, bp_parent)
+
+    carry0 = (p_b0, p_nb0, h1_0, h2_0, last0)
+    (p_b, p_nb, _, _, _), (chars, parents) = jax.lax.scan(
+        step,
+        carry0,
+        (jnp.moveaxis(lp, 0, 1), jnp.arange(T)),
+    )
+    final_scores = jnp.logaddexp(p_b, p_nb)  # (B, K) — beams ranked desc
+    return chars, parents, final_scores
+
+
+def traceback(
+    chars: np.ndarray, parents: np.ndarray, beam: np.ndarray | int = 0
+) -> List[List[int]]:
+    """Reconstruct prefixes from backpointers.
+
+    Args:
+      chars/parents: ``(T, B, K)`` arrays from :func:`beam_search`.
+      beam: final beam index (int or per-batch array).
+
+    Returns: list of token-id lists, one per batch element.
+    """
+    chars = np.asarray(chars)
+    parents = np.asarray(parents)
+    T, B, _ = chars.shape
+    beams = np.full((B,), beam) if np.isscalar(beam) else np.asarray(beam)
+    out: List[List[int]] = []
+    for b in range(B):
+        k = int(beams[b])
+        rev: List[int] = []
+        for t in range(T - 1, -1, -1):
+            c = int(chars[t, b, k])
+            if c >= 0:
+                rev.append(c)
+            k = int(parents[t, b, k])
+        out.append(rev[::-1])
+    return out
+
+
+def beam_decode(
+    log_probs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    blank_id: int,
+    pad_id: int,
+    beam_width: int,
+    beam_prune_logp: float = -10.0,
+    token_min_logp: float = -5.0,
+    blank_bias: float = 0.0,
+) -> List[List[int]]:
+    """Convenience wrapper: run :func:`beam_search` and return best prefixes."""
+    chars, parents, _ = beam_search(
+        log_probs,
+        lengths,
+        blank_id=blank_id,
+        pad_id=pad_id,
+        beam_width=beam_width,
+        beam_prune_logp=beam_prune_logp,
+        token_min_logp=token_min_logp,
+        blank_bias=blank_bias,
+    )
+    return traceback(np.asarray(chars), np.asarray(parents), 0)

@@ -1,0 +1,191 @@
+"""Loader tests over a synthetic feature cache (reference test_dataset.py
+strategy, extended with bucketing invariants)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ssd_tpu.data.augment import (
+    ChannelDropoutConfig,
+    SpecAugmentConfig,
+    channel_dropout_np,
+    spec_augment_np,
+)
+from ssd_tpu.data.dataset import (
+    TIME_BUCKET,
+    TOKEN_BUCKET,
+    DataLoader,
+    EMGFeatureDataset,
+    collate,
+    make_dataloader,
+    prefetch,
+)
+from ssd_tpu.data.index_dataset import save_index
+from ssd_tpu.data.vocab import default_vocab
+
+
+@pytest.fixture
+def cache(tmp_path):
+    rng = np.random.default_rng(0)
+    rows = []
+    feats_root = tmp_path / "features"
+    for i, (split, subset, t) in enumerate(
+        [
+            ("voiced_parallel_data", "train", 50),
+            ("voiced_parallel_data", "train", 180),
+            ("voiced_parallel_data", "val", 90),
+            ("silent_parallel_data", "train", 70),
+        ]
+    ):
+        uid = f"{split}/s1/{i}_0"
+        rows.append(
+            dict(
+                utterance_id=uid,
+                split=split,
+                subset=subset,
+                speaker="s1",
+                stem=f"{i}_0",
+                emg_path=f"{uid}_emg.npy",
+                audio_path=None,
+                transcript=f"sample text {i}",
+                sentence_index=i,
+                book="b",
+                has_audio=False,
+                metadata_json="{}",
+            )
+        )
+        emg_dir = feats_root / "emg" / split / "s1"
+        emg_dir.mkdir(parents=True, exist_ok=True)
+        np.save(emg_dir / f"{i}_0.npy", rng.normal(size=(t, 8, 80)).astype(np.float32))
+        if split == "voiced_parallel_data":
+            tdir = feats_root / "teacher" / split / "s1"
+            tdir.mkdir(parents=True, exist_ok=True)
+            np.save(tdir / f"{i}_0.npy", rng.normal(size=(t // 2, 16)).astype(np.float32))
+    index_path = tmp_path / "index.parquet"
+    save_index(pd.DataFrame(rows), index_path)
+    return index_path, feats_root
+
+
+def test_dataset_filtering_and_flattening(cache):
+    index_path, feats_root = cache
+    ds = EMGFeatureDataset(
+        index_path, feats_root, ["voiced_parallel_data"], default_vocab(), subsets=["train"]
+    )
+    assert len(ds) == 2
+    item = ds.get(0)
+    assert item["emg"].shape[1] == 640  # (T, 8*80)
+    assert item["teacher"] is not None
+    assert item["tokens"].dtype == np.int32
+
+
+def test_teacher_strict_vs_lenient(cache):
+    index_path, feats_root = cache
+    strict = EMGFeatureDataset(
+        index_path, feats_root, ["silent_parallel_data"], default_vocab(), strict=True
+    )
+    with pytest.raises(FileNotFoundError):
+        strict.get(0)
+    lenient = EMGFeatureDataset(
+        index_path, feats_root, ["silent_parallel_data"], default_vocab(), strict=False
+    )
+    assert lenient.get(0)["teacher"] is None
+
+
+def test_collate_bucketed_shapes(cache):
+    index_path, feats_root = cache
+    vocab = default_vocab()
+    ds = EMGFeatureDataset(index_path, feats_root, ["voiced_parallel_data"], vocab)
+    batch = collate([ds.get(i) for i in range(3)], vocab)
+    # max T = 180 -> rounded to 256; tokens "sample text i" = 13 -> 32
+    assert batch.emg.shape == (3, 2 * TIME_BUCKET, 640)
+    assert batch.tokens.shape == (3, TOKEN_BUCKET)
+    assert batch.emg_lengths.tolist() == [50, 180, 90]
+    # padding zeroed / pad_id
+    assert np.all(batch.emg[0, 50:] == 0)
+    assert np.all(batch.tokens[0, batch.token_lengths[0] :] == vocab.pad_id)
+    assert batch.teacher is not None
+    assert batch.teacher_lengths.tolist() == [25, 90, 45]
+
+
+def test_dataloader_epochs_and_shuffle(cache):
+    index_path, feats_root = cache
+    loader = make_dataloader(
+        index_path,
+        feats_root,
+        ["voiced_parallel_data", "silent_parallel_data"],
+        None,
+        default_vocab(),
+        batch_size=2,
+        shuffle=True,
+        include_teacher=False,
+        seed=7,
+    )
+    assert len(loader) == 2
+    seen = [uid for b in loader for uid in b.utterance_ids]
+    assert len(seen) == 4 and len(set(seen)) == 4
+    seen2 = [uid for b in loader for uid in b.utterance_ids]
+    assert set(seen) == set(seen2)
+
+
+def test_max_items_and_prefetch(cache):
+    index_path, feats_root = cache
+    loader = make_dataloader(
+        index_path,
+        feats_root,
+        ["voiced_parallel_data"],
+        None,
+        default_vocab(),
+        batch_size=2,
+        shuffle=False,
+        include_teacher=False,
+        max_items=2,
+    )
+    batches = list(prefetch(loader))
+    assert sum(b.size for b in batches) == 2
+
+
+def test_sharding_partitions(cache):
+    index_path, feats_root = cache
+    uids = set()
+    for shard in range(2):
+        loader = make_dataloader(
+            index_path,
+            feats_root,
+            ["voiced_parallel_data", "silent_parallel_data"],
+            None,
+            default_vocab(),
+            batch_size=4,
+            shuffle=False,
+            include_teacher=False,
+            num_shards=2,
+            shard_index=shard,
+        )
+        for b in loader:
+            uids.update(b.utterance_ids)
+    assert len(uids) == 4  # both shards together cover everything
+
+
+def test_spec_augment_masks():
+    rng = np.random.default_rng(0)
+    cfg = SpecAugmentConfig(p=1.0, time_masks=2, time_mask_width=0.1, freq_masks=1, freq_mask_width=8)
+    x = np.ones((100, 64), np.float32)
+    out = spec_augment_np(x, cfg, rng)
+    assert out.shape == x.shape
+    assert (out == 0).any()
+    # no-op when p=0
+    assert spec_augment_np(x, SpecAugmentConfig(p=0.0), rng) is x
+
+
+def test_channel_dropout():
+    rng = np.random.default_rng(0)
+    x = np.ones((20, 8, 10), np.float32)
+    out = channel_dropout_np(x, ChannelDropoutConfig(p=1.0, max_channels=3), rng)
+    dropped = [c for c in range(8) if np.all(out[:, c] == 0)]
+    assert 1 <= len(dropped) <= 3
+    # never drops all channels
+    out2 = channel_dropout_np(
+        np.ones((5, 2, 4), np.float32), ChannelDropoutConfig(p=1.0, max_channels=5), rng
+    )
+    assert sum(np.all(out2[:, c] == 0) for c in range(2)) <= 1
