@@ -58,8 +58,7 @@ def greedy_decode(
     Returns ``(tokens (B, T) int32 padded with pad_id, counts (B,))``.
     """
     B, T, V = log_probs.shape
-    if blank_bias != 0.0:
-        log_probs = log_probs.at[:, :, blank_id].add(blank_bias)
+    log_probs = log_probs.at[:, :, blank_id].add(blank_bias)
     preds = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)  # (B, T)
 
     valid = jnp.arange(T)[None, :] < lengths[:, None]
@@ -129,8 +128,7 @@ def beam_search(
     K = beam_width
 
     lp = log_probs.astype(jnp.float32)
-    if blank_bias != 0.0:
-        lp = lp.at[:, :, blank_id].add(blank_bias)
+    lp = lp.at[:, :, blank_id].add(blank_bias)
     if pad_id != blank_id:
         # merge pad mass into blank; pad can then never be emitted
         lp = lp.at[:, :, blank_id].set(
