@@ -1,0 +1,125 @@
+"""Decoder factory: greedy / beam with optional char-LM shallow fusion.
+
+Surface parity with reference ``src/decoding/ctc.py:39-122``: the factory
+returns a ``DecoderFn(log_probs, lengths) -> List[str]`` closure; knobs are
+``beam_width``, ``alpha`` (LM weight), ``beta`` (word bonus),
+``beam_prune_logp`` and ``blank_bias``. The compute runs on device
+(:mod:`ssd_tpu.ops.ctc_decode`); only string materialization is host-side.
+
+When an ARPA LM path is given, beam hypotheses are rescored by shallow fusion
+(`score + alpha·log10 P_lm(text) + beta·|words|`) over the final beam list —
+the device search proposes, the n-gram rescores. (pyctcdecode fuses the LM
+*during* search; top-N rescoring with the beams the no-LM search returns is a
+close approximation at these beam widths and keeps the search on-device.)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ssd_tpu.data.vocab import Vocab
+from ssd_tpu.ops.ctc_decode import beam_search, greedy_decode, traceback
+
+DecoderFn = Callable[[jnp.ndarray, jnp.ndarray], List[str]]
+
+
+def build_greedy_decoder(vocab: Vocab, blank_bias: float = 0.0) -> DecoderFn:
+    def decode(log_probs, lengths) -> List[str]:
+        toks, counts = greedy_decode(
+            jnp.asarray(log_probs),
+            jnp.asarray(lengths),
+            blank_id=vocab.blank_id,
+            pad_id=vocab.pad_id,
+            blank_bias=blank_bias,
+        )
+        toks = np.asarray(toks)
+        counts = np.asarray(counts)
+        return [vocab.decode(toks[i, : counts[i]]) for i in range(toks.shape[0])]
+
+    return decode
+
+
+def build_beam_decoder(
+    vocab: Vocab,
+    lm_path: Optional[Path] = None,
+    beam_width: int = 50,
+    alpha: float = 0.6,
+    beta: float = 0.0,
+    beam_prune_logp: float = -10.0,
+    blank_bias: float = 0.0,
+    token_min_logp: float = -5.0,
+) -> DecoderFn:
+    lm = None
+    if lm_path is not None and Path(lm_path).exists():
+        from ssd_tpu.decoding.lm import NGramLM
+
+        lm = NGramLM.from_arpa(Path(lm_path))
+
+    def decode(log_probs, lengths) -> List[str]:
+        chars, parents, scores = beam_search(
+            jnp.asarray(log_probs),
+            jnp.asarray(lengths),
+            blank_id=vocab.blank_id,
+            pad_id=vocab.pad_id,
+            beam_width=beam_width,
+            beam_prune_logp=beam_prune_logp,
+            token_min_logp=token_min_logp,
+            blank_bias=blank_bias,
+        )
+        chars = np.asarray(chars)
+        parents = np.asarray(parents)
+        scores = np.asarray(scores)
+        B, K = scores.shape
+        if lm is None:
+            prefixes = traceback(chars, parents, 0)
+            return [vocab.decode(p) for p in prefixes]
+
+        # LM shallow fusion: rescore every surviving beam
+        hyps: List[str] = []
+        for b in range(B):
+            alive = [k for k in range(K) if scores[b, k] > -1e29]
+            texts = {}
+            for k in alive or [0]:
+                prefix = traceback(chars[:, b : b + 1], parents[:, b : b + 1], k)[0]
+                text = vocab.decode(prefix)
+                if text not in texts or scores[b, k] > texts[text]:
+                    texts[text] = scores[b, k]
+            best_text, _ = max(
+                texts.items(),
+                key=lambda kv: kv[1]
+                + alpha * lm.score_log10(kv[0]) * np.log(10.0)
+                + beta * max(len(kv[0].split()), 1),
+            )
+            hyps.append(best_text)
+        return hyps
+
+    return decode
+
+
+def build_decoder(
+    method: str,
+    vocab: Vocab,
+    lm_path: Optional[Path] = None,
+    beam_width: int = 50,
+    alpha: float = 0.6,
+    beta: float = 0.0,
+    beam_prune_logp: float = -10.0,
+    blank_bias: float = 0.0,
+) -> DecoderFn:
+    """Reference-surface dispatch (``ctc.py:102-122``)."""
+    if method.lower() == "beam":
+        return build_beam_decoder(
+            vocab=vocab,
+            lm_path=lm_path,
+            beam_width=beam_width,
+            alpha=alpha,
+            beta=beta,
+            beam_prune_logp=beam_prune_logp,
+            blank_bias=blank_bias,
+        )
+    return build_greedy_decoder(vocab, blank_bias=blank_bias)
