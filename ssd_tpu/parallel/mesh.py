@@ -1,0 +1,103 @@
+"""Device mesh + sharding helpers — the communication backend of the stack.
+
+The reference is strictly single-device (SURVEY.md §2, "Parallelism"): no
+distributed layer exists. Here distribution is first-class and TPU-native:
+``jax.sharding.Mesh`` over ICI with named axes
+
+* ``data``  — batch dimension (primary; data parallelism),
+* ``model`` — reserved tensor-parallel axis for d_model/ffn sharding when the
+  encoder is scaled up (defaults to 1).
+
+Everything downstream annotates arrays with ``NamedSharding`` /
+``PartitionSpec`` and lets XLA insert the collectives (psum of grads over
+``data``, all-gathers for tp) — there is no hand-written NCCL analog.
+
+``jax.distributed.initialize`` is invoked only in multi-process settings;
+single-host multi-chip needs none.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices.
+
+    ``data`` defaults to ``n_devices // model``. Axis order puts ``model``
+    innermost so tensor-parallel collectives ride the fastest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}×{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a pytree of host arrays with the batch axis sharded over data."""
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def pad_batch_to_multiple(tree, multiple: int):
+    """Pad every array's leading axis up to a multiple (uneven last batches
+    must still divide the data axis). Returns (padded_tree, real_size)."""
+    import numpy as _np
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return tree, 0
+    b = leaves[0].shape[0]
+    target = ((b + multiple - 1) // multiple) * multiple
+    if target == b:
+        return tree, b
+
+    def pad(x):
+        pad_width = [(0, target - b)] + [(0, 0)] * (x.ndim - 1)
+        return _np.pad(x, pad_width)
+
+    return jax.tree_util.tree_map(pad, tree), b
+
+
+def maybe_initialize_distributed() -> None:
+    """Init multi-process JAX when launched under a multi-host runtime."""
+    import os
+
+    if os.environ.get("COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception as exc:  # pragma: no cover - environment-specific
+            logger.warning("jax.distributed.initialize failed: %s", exc)

@@ -1,0 +1,499 @@
+"""Training CLI: jitted data-parallel train step over a TPU mesh.
+
+Surface parity with the reference trainer (``src/training/train.py``):
+
+  python -m ssd_tpu.training.train --config configs/tpu_fast_plus.yaml \
+      [--run-dir …] [--init-checkpoint …] [--dry-run] [--overfit-batches N]
+
+Same YAML schema, artifacts (``<run>/last``, ``<run>/best``, ``config.json``,
+TensorBoard scalars under ``tb/``), per-epoch validation with best-checkpoint
+selection on val total loss, early stopping, per-epoch distillation-λ warmup
+(``train.py:482-489``), and strict=False warm starts.
+
+The execution model is TPU-native: the whole per-batch body — encoder,
+heads, CTC (on device), distillation MSE, backward, AdamW update — is ONE
+jitted step, compiled per length bucket, with the batch sharded over the
+mesh ``data`` axis and parameters replicated (XLA inserts the gradient
+psum). Gradient accumulation uses optax.MultiSteps so the schedule advances
+once per effective update, exactly like the reference scheduler.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import logging
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ssd_tpu.data.augment import ChannelDropoutConfig, SpecAugmentConfig
+from ssd_tpu.data.dataset import Batch, DataLoader, make_dataloader, prefetch
+from ssd_tpu.data.vocab import Vocab
+from ssd_tpu.models.losses import LossWeights, distillation_mse
+from ssd_tpu.models.ssd_model import SSDModel, build_model
+from ssd_tpu.ops.ctc_loss import ctc_loss
+from ssd_tpu.parallel.mesh import make_mesh, pad_batch_to_multiple, shard_batch
+from ssd_tpu.training.checkpoint import (
+    load_checkpoint,
+    load_params_partial,
+    save_checkpoint,
+)
+from ssd_tpu.training.schedules import build_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def set_seed(seed: int) -> jax.Array:
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+# --------------------------------------------------------------------------
+# Steps
+# --------------------------------------------------------------------------
+
+
+def batch_to_arrays(batch: Batch, include_teacher: bool) -> Dict[str, np.ndarray]:
+    arrays = {
+        "emg": batch.emg,
+        "emg_lengths": batch.emg_lengths,
+        "tokens": batch.tokens,
+        "token_lengths": batch.token_lengths,
+        "weight": np.ones((batch.emg.shape[0],), np.float32),
+    }
+    if include_teacher and batch.teacher is not None:
+        arrays["teacher"] = batch.teacher
+        arrays["teacher_lengths"] = batch.teacher_lengths
+    return arrays
+
+
+def _losses(
+    model: SSDModel,
+    params,
+    batch_stats,
+    batch: Dict[str, jnp.ndarray],
+    lambdas: jnp.ndarray,
+    blank_id: int,
+    normalize_distill: bool,
+    train: bool,
+    dropout_rng: Optional[jax.Array],
+) -> Tuple[jnp.ndarray, Tuple[Dict[str, jnp.ndarray], Any]]:
+    variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = dict(mutable=["batch_stats"]) if train else dict(mutable=False)
+    rngs = {"dropout": dropout_rng} if train else None
+    out = model.apply(
+        variables, batch["emg"], batch["emg_lengths"], train=train, rngs=rngs, **kwargs
+    )
+    if train:
+        (log_probs, out_lengths, student), updates = out
+        new_batch_stats = updates.get("batch_stats", batch_stats)
+    else:
+        log_probs, out_lengths, student = out
+        new_batch_stats = batch_stats
+
+    w = batch["weight"]
+    w_sum = jnp.maximum(jnp.sum(w), 1.0)
+
+    per_sample = ctc_loss(
+        log_probs, out_lengths, batch["tokens"], batch["token_lengths"], blank_id
+    )
+    denom = jnp.maximum(batch["token_lengths"], 1).astype(jnp.float32)
+    ctc = jnp.sum(w * per_sample / denom) / w_sum
+
+    if "teacher" in batch:
+        # zero-weight (mesh padding) rows already have valid length 0
+        distill = distillation_mse(
+            student,
+            jnp.where(w > 0, out_lengths, 0),
+            batch["teacher"],
+            batch["teacher_lengths"],
+            normalize=normalize_distill,
+        )
+    else:
+        distill = jnp.zeros((), jnp.float32)
+
+    total = lambdas[0] * ctc + lambdas[1] * distill
+    losses = {"total": total, "ctc": ctc, "distill": distill}
+    return total, (losses, new_batch_stats)
+
+
+def make_train_step(model, tx, blank_id, normalize_distill):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, lambdas, dropout_rng):
+        rng = jax.random.fold_in(dropout_rng, state.step)
+        grad_fn = jax.value_and_grad(
+            lambda p: _losses(
+                model, p, state.batch_stats, batch, lambdas, blank_id,
+                normalize_distill, True, rng,
+            ),
+            has_aux=True,
+        )
+        (_, (losses, new_batch_stats)), grads = grad_fn(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(model, blank_id, normalize_distill):
+    @jax.jit
+    def eval_step(state: TrainState, batch, lambdas):
+        _, (losses, _) = _losses(
+            model, state.params, state.batch_stats, batch, lambdas, blank_id,
+            normalize_distill, False, None,
+        )
+        return losses
+
+    return eval_step
+
+
+# --------------------------------------------------------------------------
+# Epochs
+# --------------------------------------------------------------------------
+
+
+def run_train_epoch(
+    train_step,
+    state: TrainState,
+    loader: DataLoader,
+    mesh,
+    lambdas: np.ndarray,
+    dropout_rng,
+    include_teacher: bool,
+    writer,
+    log_interval: int,
+    schedule,
+    grad_accum: int,
+) -> Tuple[TrainState, Dict[str, float]]:
+    n_data = mesh.shape["data"]
+    lam = jnp.asarray(lambdas, jnp.float32)
+    last_losses = None
+    n_batches = 0
+    host_step = 0
+    for batch in prefetch(loader):
+        arrays = batch_to_arrays(batch, include_teacher)
+        arrays, _ = pad_batch_to_multiple(arrays, n_data)
+        arrays["weight"][batch.size :] = 0.0
+        device_batch = shard_batch(mesh, arrays)
+        state, losses = train_step(state, device_batch, lam, dropout_rng)
+        last_losses = losses
+        n_batches += 1
+        host_step += 1  # host-side counter: no device sync in the hot loop
+        if writer is not None and (
+            host_step % (log_interval * grad_accum) == 0 or host_step == 1
+        ):
+            update = host_step // grad_accum
+            writer.add_scalar("train/total_loss", float(losses["total"]), update)
+            writer.add_scalar("train/ctc_loss", float(losses["ctc"]), update)
+            writer.add_scalar("train/distill_loss", float(losses["distill"]), update)
+            writer.add_scalar("train/lr", float(schedule(update)), update)
+    final = {k: float(v) for k, v in (last_losses or {}).items()}
+    final["batches"] = n_batches
+    return state, final
+
+
+def run_eval_epoch(
+    eval_step, state: TrainState, loader: DataLoader, mesh, lambdas, include_teacher
+) -> Dict[str, float]:
+    n_data = mesh.shape["data"]
+    lam = jnp.asarray(lambdas, jnp.float32)
+    totals, ctcs, distills = [], [], []
+    for batch in prefetch(loader):
+        arrays = batch_to_arrays(batch, include_teacher)
+        arrays, _ = pad_batch_to_multiple(arrays, n_data)
+        arrays["weight"][batch.size :] = 0.0
+        losses = eval_step(state, shard_batch(mesh, arrays), lam)
+        totals.append(float(losses["total"]))
+        ctcs.append(float(losses["ctc"]))
+        distills.append(float(losses["distill"]))
+    return {
+        "total": float(np.mean(totals)) if totals else 0.0,
+        "ctc": float(np.mean(ctcs)) if ctcs else 0.0,
+        "distill": float(np.mean(distills)) if distills else 0.0,
+    }
+
+
+# --------------------------------------------------------------------------
+# Main
+# --------------------------------------------------------------------------
+
+
+def _augment_cfgs(cfg: Dict[str, Any]):
+    spec_cfg = None
+    spec = cfg.get("augmentation", {}).get("specaugment")
+    if spec and spec.get("p", 0) > 0:
+        spec_cfg = SpecAugmentConfig(
+            time_masks=spec.get("time_masks", 2),
+            time_mask_width=spec.get("time_mask_width", 0.05),
+            freq_masks=spec.get("freq_masks", 2),
+            freq_mask_width=spec.get("freq_mask_width", 8),
+            p=spec.get("p", 0.0),
+        )
+    chan_cfg = None
+    chan = cfg.get("augmentation", {}).get("channel_dropout")
+    if chan and chan.get("p", 0) > 0:
+        chan_cfg = ChannelDropoutConfig(
+            p=chan.get("p", 0.0), max_channels=chan.get("max_channels", 1)
+        )
+    return spec_cfg, chan_cfg
+
+
+def init_state(model: SSDModel, tx, input_dim: int, rng) -> TrainState:
+    dummy = jnp.zeros((1, 256, input_dim), jnp.float32)
+    variables = model.init(rng, dummy, jnp.array([256]), train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def train_from_config(
+    cfg: Dict[str, Any],
+    run_dir: Path,
+    init_checkpoint: Optional[Path] = None,
+    dry_run: bool = False,
+    overfit_batches: int = 0,
+    writer=None,
+) -> Dict[str, Any]:
+    """Programmatic entry; returns summary (best epoch/val)."""
+    rng = set_seed(cfg["logging"].get("seed", 42))
+    vocab = Vocab.from_json(Path(cfg["data"]["vocab"]))
+    spec_cfg, chan_cfg = _augment_cfgs(cfg)
+
+    include_teacher = bool(cfg["data"].get("include_teacher", True))
+    teacher_strict = bool(cfg["data"].get("teacher_strict", True))
+
+    train_limit = val_limit = None
+    shuffle_train = True
+    if overfit_batches > 0:
+        train_limit = val_limit = overfit_batches * cfg["optim"]["batch_size"]
+        shuffle_train = False
+        logger.info("Overfitting on %d batches (~%d items)", overfit_batches, train_limit)
+
+    seed = cfg["logging"].get("seed", 42)
+    common = dict(
+        index_path=Path(cfg["data"]["index"]),
+        features_root=Path(cfg["data"]["features_root"]),
+        vocab=vocab,
+        include_teacher=include_teacher,
+        strict=teacher_strict,
+    )
+    train_loader = make_dataloader(
+        splits=cfg["data"]["train_splits"],
+        subsets=cfg["data"].get("train_subsets"),
+        batch_size=cfg["optim"]["batch_size"],
+        shuffle=shuffle_train,
+        seed=seed,
+        spec_augment_cfg=spec_cfg,
+        channel_dropout_cfg=chan_cfg,
+        max_items=train_limit,
+        **common,
+    )
+    val_loader = make_dataloader(
+        splits=cfg["data"]["val_splits"],
+        subsets=cfg["data"].get("val_subsets"),
+        batch_size=max(1, cfg["optim"]["batch_size"] // 2),
+        shuffle=False,
+        seed=seed,
+        max_items=val_limit,
+        **common,
+    )
+    logger.info(
+        "Train batches: %d | Val batches: %d | batch %d | accum %d",
+        len(train_loader),
+        len(val_loader),
+        cfg["optim"]["batch_size"],
+        cfg["optim"].get("grad_accum", 1),
+    )
+
+    # infer input dim from the first cached feature (reference: first batch)
+    if len(train_loader.dataset) == 0:
+        raise ValueError("Empty training dataset after filtering.")
+    first = train_loader.dataset.get(0)
+    input_dim = first["emg"].shape[1]
+
+    grad_accum = int(cfg["optim"].get("grad_accum", 1))
+    max_epochs = 1 if dry_run else int(cfg["optim"].get("max_epochs", 1))
+    updates_per_epoch = max(1, math.ceil(len(train_loader) / grad_accum))
+    total_updates = max_epochs * updates_per_epoch
+
+    model = build_model(cfg, input_dim=input_dim, vocab_size=vocab.size)
+    tx, schedule = build_optimizer(cfg, total_updates)
+    init_rng, dropout_rng = jax.random.split(rng)
+    state = init_state(model, tx, input_dim, init_rng)
+
+    if init_checkpoint is not None:
+        logger.info("Warm start from %s", init_checkpoint)
+        payload = load_checkpoint(Path(init_checkpoint))
+        state = state.replace(
+            params=load_params_partial(state.params, payload["params"]),
+            batch_stats=load_params_partial(state.batch_stats, payload["batch_stats"]),
+        )
+
+    mesh = make_mesh()
+    logger.info("Mesh: %s over %d device(s)", dict(mesh.shape), mesh.size)
+
+    base_weights = LossWeights(
+        lambda_distill=float(cfg["loss"]["lambda_distill"]),
+        lambda_ctc=float(cfg["loss"]["lambda_ctc"]),
+    )
+    normalize_distill = bool(cfg["loss"].get("distill_normalize", False))
+    distill_warmup_epochs = int(cfg["loss"].get("distill_warmup_epochs", 0))
+    blank_id = vocab.blank_id
+
+    train_step = make_train_step(model, tx, blank_id, normalize_distill)
+    eval_step = make_eval_step(model, blank_id, normalize_distill)
+
+    early = cfg["optim"].get("early_stopping", {}) or {}
+    patience = int(early.get("patience", 0))
+    min_delta = float(early.get("min_delta", 0.0))
+
+    best_val = float("inf")
+    best_epoch = 0
+    patience_counter = 0
+
+    with mesh:
+        for epoch in range(1, max_epochs + 1):
+            warmup_scale = 1.0
+            if distill_warmup_epochs > 0:
+                warmup_scale = min(1.0, epoch / float(distill_warmup_epochs))
+            lambdas = np.asarray(
+                [base_weights.lambda_ctc, base_weights.lambda_distill * warmup_scale],
+                np.float32,
+            )
+            start = time.time()
+            state, train_losses = run_train_epoch(
+                train_step,
+                state,
+                train_loader,
+                mesh,
+                lambdas,
+                dropout_rng,
+                include_teacher,
+                writer,
+                cfg["logging"].get("log_interval", 10),
+                schedule,
+                grad_accum,
+            )
+            train_time = time.time() - start
+            val_losses = run_eval_epoch(
+                eval_step, state, val_loader, mesh, lambdas, include_teacher
+            )
+            logger.info(
+                "Epoch %d done in %.1fs | val total %.4f (ctc %.4f, distill %.4f) | λ_ctc %.2f λ_distill %.2f",
+                epoch,
+                train_time,
+                val_losses["total"],
+                val_losses["ctc"],
+                val_losses["distill"],
+                lambdas[0],
+                lambdas[1],
+            )
+            if writer is not None:
+                writer.add_scalar("val/total_loss", val_losses["total"], epoch)
+                writer.add_scalar("val/ctc_loss", val_losses["ctc"], epoch)
+                writer.add_scalar("val/distill_loss", val_losses["distill"], epoch)
+                writer.add_scalar("train/lambda_ctc", float(lambdas[0]), epoch)
+                writer.add_scalar("train/lambda_distill", float(lambdas[1]), epoch)
+
+            is_best = val_losses["total"] < (best_val - min_delta)
+            if is_best:
+                best_val = val_losses["total"]
+                best_epoch = epoch
+                patience_counter = 0
+            else:
+                patience_counter += 1
+
+            save_checkpoint(
+                run_dir,
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "epoch": np.asarray(epoch),
+                    "step": np.asarray(state.step),
+                },
+                cfg,
+                is_best=is_best,
+            )
+
+            if dry_run:
+                break
+            if patience and patience_counter >= patience:
+                logger.info(
+                    "Early stopping at epoch %d (best %d, val %.4f)",
+                    epoch,
+                    best_epoch,
+                    best_val,
+                )
+                break
+
+    return {"best_epoch": best_epoch, "best_val": best_val, "epochs": epoch}
+
+
+def _parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Train the EMG-to-text model on TPU.")
+    p.add_argument("--config", type=Path, required=True)
+    p.add_argument("--run-dir", type=Path)
+    p.add_argument("--init-checkpoint", type=Path)
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--overfit-batches", type=int, default=0)
+    return p.parse_args()
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    args = _parse_args()
+    from ssd_tpu.utils.config import load_config
+
+    cfg = load_config(args.config)
+    run_name = cfg["logging"].get("run_name", "run")
+    run_dir = args.run_dir or Path("results/checkpoints") / run_name
+
+    from tensorboardX import SummaryWriter
+
+    writer = SummaryWriter(log_dir=str(run_dir / "tb"))
+    try:
+        init_ckpt = args.init_checkpoint
+        if init_ckpt is not None and init_ckpt.is_dir() is False and init_ckpt.suffix:
+            init_ckpt = init_ckpt  # single path; load_checkpoint handles dirs
+        train_from_config(
+            cfg,
+            run_dir,
+            init_checkpoint=init_ckpt,
+            dry_run=args.dry_run,
+            overfit_batches=args.overfit_batches,
+            writer=writer,
+        )
+    finally:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()
