@@ -1,0 +1,43 @@
+"""Train → evaluate end-to-end: checkpoint restore, greedy + beam decode,
+metric artifacts (reference evaluate.py contract)."""
+
+import numpy as np
+import pytest
+
+from ssd_tpu.decoding.ctc import build_decoder
+from ssd_tpu.evaluation.evaluate import evaluate_checkpoint
+from ssd_tpu.training.train import train_from_config
+
+from .helpers import make_tiny_setup
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    cfg, vocab, root = make_tiny_setup(tmp_path)
+    run_dir = root / "run"
+    train_from_config(cfg, run_dir, dry_run=True)
+    return cfg, vocab, run_dir
+
+
+@pytest.mark.parametrize("method", ["greedy", "beam"])
+def test_evaluate_checkpoint(trained, method):
+    cfg, vocab, run_dir = trained
+    decoder = build_decoder(method=method, vocab=vocab, beam_width=8)
+    out = evaluate_checkpoint(
+        run_dir / "best",
+        cfg,
+        vocab,
+        splits=["voiced_parallel_data"],
+        subsets=["val"],
+        decoder_fn=decoder,
+        batch_size=2,
+    )
+    metrics = out["metrics"]
+    assert 0.0 <= metrics["cer"]
+    assert "deletion_rate" in metrics["error_breakdown"]
+    assert metrics["decode_latency_sec"]["p50"] > 0
+    assert len(out["records"]) == 1  # one val utterance
+    rec = out["records"][0]
+    assert set(rec) == {"utterance_id", "ref", "hyp"}
+    assert rec["ref"] == "hello world"
