@@ -1,0 +1,155 @@
+"""Benchmark harness — ONE JSON line for the driver.
+
+Measures the two headline numbers from BASELINE.md on the attached TPU:
+
+* training throughput (EMG utterances/sec/chip) for the voiced-baseline
+  ``tpu_fast_plus`` model — full jitted step: encoder + CTC + distillation
+  MSE + AdamW update, realistic shapes (≈7.7 s utterances at 100 fps);
+* p50 beam-width-50 decode latency per utterance (reported as extra field).
+
+``vs_baseline`` compares against the reference's Apple-Silicon MPS pipeline,
+estimated at 2.0 utterances/sec from the blog's probe wall-clock (~15 min for
+6 epochs × 48 batches × batch 5 + val; blog_post.pdf p.4) — the reference
+publishes no direct throughput number.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+MPS_BASELINE_UTT_PER_SEC = 2.0
+
+# realistic voiced-utterance shapes: ~7.7 s at 100 fps (hop 10 ms), 640-dim
+# flattened features, ~128-char transcripts
+BATCH = 32
+T_FRAMES = 768
+TOKENS = 128
+INPUT_DIM = 640
+VOCAB = 48
+TEACHER_DIM = 768
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+DECODE_BATCH = 8
+DECODE_BEAM = 50
+
+
+def bench_train(jax, jnp):
+    from ssd_tpu.models.conformer import EncoderConfig
+    from ssd_tpu.models.ssd_model import SSDModel
+    from ssd_tpu.parallel.mesh import make_mesh, shard_batch
+    from ssd_tpu.training.schedules import build_optimizer
+    from ssd_tpu.training.train import init_state, make_train_step
+
+    enc_cfg = EncoderConfig(
+        input_dim=INPUT_DIM,
+        d_model=288,
+        num_layers=6,
+        num_heads=6,
+        ffn_dim=1152,
+        depthwise_conv_kernel_size=15,
+        dropout=0.12,
+        subsample_factor=2,
+    )
+    model = SSDModel(
+        encoder_cfg=enc_cfg, projection_dim=TEACHER_DIM, vocab_size=VOCAB, ctc_dropout=0.12
+    )
+    cfg = {
+        "optim": {
+            "lr": 3e-4,
+            "weight_decay": 1e-2,
+            "clip_grad_norm": 5.0,
+            "grad_accum": 1,
+            "scheduler": {"name": "warmup_hold", "warmup_steps": 800},
+        }
+    }
+    tx, _ = build_optimizer(cfg, total_updates=1000)
+    state = init_state(model, tx, INPUT_DIM, jax.random.PRNGKey(0))
+    train_step = make_train_step(model, tx, blank_id=1, normalize_distill=False)
+
+    rng = np.random.default_rng(0)
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    batch_np = {
+        "emg": rng.normal(size=(BATCH, T_FRAMES, INPUT_DIM)).astype(np.float32),
+        "emg_lengths": rng.integers(T_FRAMES // 2, T_FRAMES + 1, size=BATCH).astype(np.int32),
+        "tokens": rng.integers(2, VOCAB, size=(BATCH, TOKENS)).astype(np.int32),
+        "token_lengths": rng.integers(TOKENS // 2, TOKENS + 1, size=BATCH).astype(np.int32),
+        "teacher": rng.normal(size=(BATCH, T_FRAMES // 2, TEACHER_DIM)).astype(np.float32),
+        "teacher_lengths": np.full((BATCH,), T_FRAMES // 2, np.int32),
+        "weight": np.ones((BATCH,), np.float32),
+    }
+    lambdas = jnp.asarray([0.65, 0.35], jnp.float32)
+    drop_rng = jax.random.PRNGKey(1)
+
+    with mesh:
+        batch = shard_batch(mesh, batch_np)
+        for _ in range(WARMUP_STEPS):
+            state, losses = train_step(state, batch, lambdas, drop_rng)
+        jax.block_until_ready(losses["total"])
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            state, losses = train_step(state, batch, lambdas, drop_rng)
+        jax.block_until_ready(losses["total"])
+        dt = time.perf_counter() - t0
+
+    utt_per_sec = BATCH * MEASURE_STEPS / dt
+    return utt_per_sec / n_dev, float(losses["total"])
+
+
+def bench_decode(jax, jnp):
+    from ssd_tpu.ops.ctc_decode import beam_search
+
+    rng = np.random.default_rng(2)
+    t_out = T_FRAMES // 2  # post-subsample frames
+    logits = rng.normal(size=(DECODE_BATCH, t_out, VOCAB)).astype(np.float32) * 2
+    lp = jnp.asarray(logits)
+    lp = lp - jax.nn.logsumexp(lp, axis=-1, keepdims=True)
+    lengths = jnp.full((DECODE_BATCH,), t_out, jnp.int32)
+
+    def run():
+        chars, parents, scores = beam_search(
+            lp, lengths, blank_id=1, pad_id=0, beam_width=DECODE_BEAM
+        )
+        jax.block_until_ready(scores)
+
+    run()  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append((time.perf_counter() - t0) / DECODE_BATCH)
+    return float(np.percentile(times, 50))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    train_tput, loss = bench_train(jax, jnp)
+    decode_p50 = bench_decode(jax, jnp)
+    print(
+        json.dumps(
+            {
+                "metric": "train_utterances_per_sec_per_chip",
+                "value": round(train_tput, 2),
+                "unit": "utt/s/chip",
+                "vs_baseline": round(train_tput / MPS_BASELINE_UTT_PER_SEC, 2),
+                "extras": {
+                    "beam50_decode_p50_sec_per_utt": round(decode_p50, 4),
+                    "final_loss": round(loss, 3),
+                    "batch": BATCH,
+                    "frames": T_FRAMES,
+                    "n_devices": len(jax.devices()),
+                    "mps_baseline_estimate_utt_per_sec": MPS_BASELINE_UTT_PER_SEC,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
