@@ -1,0 +1,106 @@
+"""WavLM flax-port parity vs the HF torch implementation (random weights,
+small config — no downloads). The north-star requires layer-9 states to
+match the reference teacher to tolerance; this validates the whole graph:
+conv encoder, projection, positional conv (weight-norm folding), gated
+relative-position-bias attention, post-LN stack, HF hidden-state indexing."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from ssd_tpu.models.wavlm import (
+    WavLMConfig,
+    WavLMTeacher,
+    relative_position_buckets,
+)
+
+SMALL = dict(
+    hidden_size=48,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=96,
+    conv_dim=(16, 16, 16),
+    conv_kernel=(10, 3, 2),
+    conv_stride=(5, 2, 2),
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+    num_buckets=40,
+    max_bucket_distance=100,
+)
+
+
+@pytest.fixture(scope="module")
+def torch_wavlm():
+    from transformers import WavLMConfig as HFConfig, WavLMModel
+
+    hf_cfg = HFConfig(
+        hidden_size=SMALL["hidden_size"],
+        num_hidden_layers=SMALL["num_hidden_layers"],
+        num_attention_heads=SMALL["num_attention_heads"],
+        intermediate_size=SMALL["intermediate_size"],
+        conv_dim=list(SMALL["conv_dim"]),
+        conv_kernel=list(SMALL["conv_kernel"]),
+        conv_stride=list(SMALL["conv_stride"]),
+        num_conv_pos_embeddings=SMALL["num_conv_pos_embeddings"],
+        num_conv_pos_embedding_groups=SMALL["num_conv_pos_embedding_groups"],
+        num_buckets=SMALL["num_buckets"],
+        max_bucket_distance=SMALL["max_bucket_distance"],
+        do_stable_layer_norm=False,
+        feat_extract_norm="group",
+        conv_bias=False,
+        mask_time_prob=0.0,
+        mask_feature_prob=0.0,
+        layerdrop=0.0,
+    )
+    torch.manual_seed(0)
+    model = WavLMModel(hf_cfg)
+    model.eval()
+    return model
+
+
+def test_bucket_function_matches_torch(torch_wavlm):
+    attn = torch_wavlm.encoder.layers[0].attention
+    q = k = 37
+    ctx = torch.arange(q)[:, None]
+    mem = torch.arange(k)[None, :]
+    want = attn._relative_positions_bucket(mem - ctx).numpy()
+    got = relative_position_buckets(q, k, SMALL["num_buckets"], SMALL["max_bucket_distance"])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hidden_states_match_torch(torch_wavlm):
+    cfg = WavLMConfig(**SMALL)
+    teacher = WavLMTeacher.from_torch_model(torch_wavlm, layer=2, cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    wave = rng.normal(size=(1, 800)).astype(np.float32)
+    with torch.no_grad():
+        out = torch_wavlm(torch.from_numpy(wave), output_hidden_states=True)
+    torch_hidden = [h.numpy() for h in out.hidden_states]
+
+    flax_hidden = teacher.model.apply({"params": teacher.params}, jnp.asarray(wave))
+    assert len(flax_hidden) == len(torch_hidden)
+    for i, (got, want) in enumerate(zip(flax_hidden, torch_hidden)):
+        np.testing.assert_allclose(
+            np.asarray(got), want, atol=2e-4, rtol=2e-3, err_msg=f"hidden_states[{i}]"
+        )
+
+
+def test_extract_applies_processor_normalization(torch_wavlm):
+    cfg = WavLMConfig(**SMALL)
+    teacher = WavLMTeacher.from_torch_model(torch_wavlm, layer=2, cfg=cfg)
+    rng = np.random.default_rng(1)
+    wave = (rng.normal(size=1000) * 3 + 1).astype(np.float32)
+
+    # HF pipeline: Wav2Vec2FeatureExtractor(do_normalize=True) then model
+    norm = (wave - wave.mean()) / np.sqrt(wave.var() + 1e-7)
+    with torch.no_grad():
+        out = torch_wavlm(torch.from_numpy(norm[None]), output_hidden_states=True)
+    want = out.hidden_states[2][0].numpy()
+
+    got = teacher.extract(wave)
+    assert got.shape == want.shape
+    assert got.shape[0] == cfg.output_length(1000)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
