@@ -53,6 +53,7 @@ def bench_train(jax, jnp):
         depthwise_conv_kernel_size=15,
         dropout=0.12,
         subsample_factor=2,
+        compute_dtype="bfloat16",  # production mixed precision (params fp32)
     )
     model = SSDModel(
         encoder_cfg=enc_cfg, projection_dim=TEACHER_DIM, vocab_size=VOCAB, ctc_dropout=0.12

@@ -9,10 +9,51 @@ hits — ``evaluate.py:80``).
 
 from __future__ import annotations
 
+import ctypes
 from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def _edit_counts_native(ref: List[str], hyp: List[str]) -> Dict[str, int] | None:
+    """Native DP kernel (native/edit_distance.cpp); None if unavailable."""
+    from ssd_tpu.utils.native import load
+
+    lib = load()
+    if lib is None:
+        return None
+    table: Dict[str, int] = {}
+    def ids(tokens: List[str]) -> np.ndarray:
+        return np.asarray(
+            [table.setdefault(t, len(table)) for t in tokens], dtype=np.int32
+        )
+
+    r, h = ids(ref), ids(hyp)
+    out = np.zeros(5, dtype=np.int32)
+    lib.edit_distance_counts(
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(r),
+        h.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(h),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return {
+        "cost": int(out[0]),
+        "insertions": int(out[1]),
+        "deletions": int(out[2]),
+        "substitutions": int(out[3]),
+        "hits": int(out[4]),
+    }
 
 
 def _edit_counts(ref: List[str], hyp: List[str]) -> Dict[str, int]:
+    native = _edit_counts_native(ref, hyp)
+    if native is not None:
+        return native
+    return _edit_counts_py(ref, hyp)
+
+
+def _edit_counts_py(ref: List[str], hyp: List[str]) -> Dict[str, int]:
     """(cost, ins, del, sub, hits) DP over token lists; two-row rolling."""
     n, m = len(ref), len(hyp)
     # rows of tuples (cost, -hits, ins, del, sub, hits); compare by (cost, -hits)

@@ -43,6 +43,11 @@ class EncoderConfig:
     dropout: float = 0.1
     subsample_factor: int = 4
     conv_norm: str = "batch"  # batch (torchaudio parity) | layer
+    compute_dtype: str = "float32"  # float32 | bfloat16 (params stay fp32)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     def conv_meta(self) -> list[dict]:
         """(kernel, stride, padding) per subsampler conv — length arithmetic."""
@@ -82,6 +87,7 @@ class Conv1dSubsampler(nn.Module):
                 kernel_size=(m["kernel_size"],),
                 strides=(m["stride"],),
                 padding=[(m["padding"], m["padding"])],
+                dtype=self.cfg.dtype,
                 name=f"conv_{i}",
             )(x)
             if m["stride"] > 1:
@@ -93,14 +99,15 @@ class _FeedForward(nn.Module):
     d_model: int
     ffn_dim: int
     dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.LayerNorm(name="ln")(x)
-        x = nn.Dense(self.ffn_dim, name="w1")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="w1")(x)
         x = nn.silu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.d_model, name="w2")(x)
+        x = nn.Dense(self.d_model, dtype=self.dtype, name="w2")(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
@@ -124,8 +131,10 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
 
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # batch statistics always in fp32
         if train:
-            m = mask[:, :, None].astype(x.dtype)
+            m = mask[:, :, None].astype(jnp.float32)
             cnt = jnp.maximum(jnp.sum(m), 1.0)
             mean = jnp.sum(x * m, axis=(0, 1)) / cnt
             var = jnp.sum(((x - mean) ** 2) * m, axis=(0, 1)) / cnt
@@ -134,7 +143,8 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
-        return scale * (x - mean) * jax.lax.rsqrt(var + self.epsilon) + bias
+        out = scale * (x - mean) * jax.lax.rsqrt(var + self.epsilon) + bias
+        return out.astype(in_dtype)
 
 
 class _ConvModule(nn.Module):
@@ -143,29 +153,32 @@ class _ConvModule(nn.Module):
     dropout: float
     conv_norm: str
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.LayerNorm(name="ln")(x)
-        x = nn.Dense(2 * self.d_model, name="pw1")(x)  # pointwise conv ≡ dense
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        x = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pw1")(x)
         a, b = jnp.split(x, 2, axis=-1)
         x = a * nn.sigmoid(b)  # GLU
         # zero padded frames so the depthwise conv sees the same zeros a
         # shorter bucket would — exact padding invariance
-        x = jnp.where(pad_mask[:, :, None], x, 0.0)
+        x = jnp.where(pad_mask[:, :, None], x, jnp.zeros((), x.dtype))
         pad = (self.kernel_size - 1) // 2
         x = nn.Conv(
             features=self.d_model,
             kernel_size=(self.kernel_size,),
             padding=[(pad, pad)],
             feature_group_count=self.d_model,
+            dtype=self.dtype,
             name="dw",
         )(x)
         if self.conv_norm == "batch":
             x = MaskedBatchNorm(name="bn")(x, pad_mask, train)
         else:
-            x = nn.LayerNorm(name="cn")(x)
+            x = nn.LayerNorm(dtype=jnp.float32, name="cn")(x)
         x = nn.silu(x)
-        x = nn.Dense(self.d_model, name="pw2")(x)
+        x = nn.Dense(self.d_model, dtype=self.dtype, name="pw2")(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
@@ -173,10 +186,11 @@ class _SelfAttention(nn.Module):
     d_model: int
     num_heads: int
     dropout: float
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.LayerNorm(name="ln")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
         # key-padding mask: every query may attend to all *valid* keys
         attn_mask = pad_mask[:, None, None, :]  # (B, 1, 1, T)
         x = nn.MultiHeadDotProductAttention(
@@ -185,6 +199,7 @@ class _SelfAttention(nn.Module):
             out_features=self.d_model,
             dropout_rate=self.dropout,
             deterministic=not train,
+            dtype=self.dtype,
             name="mha",
         )(x, x, mask=attn_mask)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -196,15 +211,16 @@ class ConformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         c = self.cfg
-        x = x + 0.5 * _FeedForward(c.d_model, c.ffn_dim, c.dropout, name="ffn1")(x, train)
-        x = x + _SelfAttention(c.d_model, c.num_heads, c.dropout, name="attn")(
+        x = x + 0.5 * _FeedForward(c.d_model, c.ffn_dim, c.dropout, c.dtype, name="ffn1")(x, train)
+        x = x + _SelfAttention(c.d_model, c.num_heads, c.dropout, c.dtype, name="attn")(
             x, pad_mask, train
         )
         x = x + _ConvModule(
-            c.d_model, c.depthwise_conv_kernel_size, c.dropout, c.conv_norm, name="conv"
+            c.d_model, c.depthwise_conv_kernel_size, c.dropout, c.conv_norm, c.dtype,
+            name="conv",
         )(x, pad_mask, train)
-        x = x + 0.5 * _FeedForward(c.d_model, c.ffn_dim, c.dropout, name="ffn2")(x, train)
-        return nn.LayerNorm(name="final_ln")(x)
+        x = x + 0.5 * _FeedForward(c.d_model, c.ffn_dim, c.dropout, c.dtype, name="ffn2")(x, train)
+        return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
 
 
 class EMGConformerEncoder(nn.Module):
@@ -231,4 +247,4 @@ class EMGConformerEncoder(nn.Module):
         # zero padded frames (torchaudio masks attention only, but downstream
         # losses/decoders here consume masked positions explicitly anyway)
         x = jnp.where(pad_mask[:, :, None], x, 0.0)
-        return x, out_lengths
+        return x.astype(jnp.float32), out_lengths

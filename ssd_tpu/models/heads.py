@@ -14,20 +14,23 @@ import jax.numpy as jnp
 class ProjectionHead(nn.Module):
     output_dim: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.output_dim, name="proj")(x)
+        out = nn.Dense(self.output_dim, dtype=self.dtype, name="proj")(x)
+        return out.astype(jnp.float32)  # distillation MSE always in fp32
 
 
 class CTCHead(nn.Module):
     vocab_size: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """(B, T, D) → (B, T, V) log-probs."""
+        """(B, T, D) → (B, T, V) log-probs (fp32 — CTC numerics)."""
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        logits = nn.Dense(self.vocab_size, name="fc")(x)
-        return jax.nn.log_softmax(logits, axis=-1)
+        logits = nn.Dense(self.vocab_size, dtype=self.dtype, name="fc")(x)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -31,11 +31,17 @@ class SSDModel(nn.Module):
             emg, lengths, train=train
         )
         student = ProjectionHead(
-            self.projection_dim, dropout=self.encoder_cfg.dropout, name="projection"
+            self.projection_dim,
+            dropout=self.encoder_cfg.dropout,
+            dtype=self.encoder_cfg.dtype,
+            name="projection",
         )(enc, train=train)
-        log_probs = CTCHead(self.vocab_size, dropout=self.ctc_dropout, name="ctc_head")(
-            enc, train=train
-        )
+        log_probs = CTCHead(
+            self.vocab_size,
+            dropout=self.ctc_dropout,
+            dtype=self.encoder_cfg.dtype,
+            name="ctc_head",
+        )(enc, train=train)
         return log_probs, out_lengths, student
 
 
@@ -52,6 +58,7 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         dropout=enc.get("dropout", 0.1),
         subsample_factor=enc.get("subsample_factor", 4),
         conv_norm=enc.get("conv_norm", "batch"),
+        compute_dtype=enc.get("compute_dtype", "float32"),
     )
     return SSDModel(
         encoder_cfg=encoder_cfg,
