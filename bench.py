@@ -37,6 +37,24 @@ DECODE_BATCH = 8
 DECODE_BEAM = 50
 
 
+def _timed_slope(run_n, n_small: int, n_large: int) -> float:
+    """Per-iteration seconds via two-point slope.
+
+    ``run_n(n)`` must execute n chained iterations and END WITH A SCALAR HOST
+    READBACK: on this platform ``block_until_ready`` returns before remote
+    execution finishes, so only a device→host transfer gives a true fence.
+    The slope cancels the constant dispatch/readback latency.
+    """
+    run_n(2)  # warm
+    t0 = time.perf_counter()
+    run_n(n_small)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_n(n_large)
+    t_large = time.perf_counter() - t0
+    return max((t_large - t_small) / (n_large - n_small), 1e-9)
+
+
 def bench_train(jax, jnp):
     from ssd_tpu.models.conformer import EncoderConfig
     from ssd_tpu.models.ssd_model import SSDModel
@@ -88,17 +106,19 @@ def bench_train(jax, jnp):
 
     with mesh:
         batch = shard_batch(mesh, batch_np)
-        for _ in range(WARMUP_STEPS):
-            state, losses = train_step(state, batch, lambdas, drop_rng)
-        jax.block_until_ready(losses["total"])
-        t0 = time.perf_counter()
-        for _ in range(MEASURE_STEPS):
-            state, losses = train_step(state, batch, lambdas, drop_rng)
-        jax.block_until_ready(losses["total"])
-        dt = time.perf_counter() - t0
+        final_loss = [0.0]
 
-    utt_per_sec = BATCH * MEASURE_STEPS / dt
-    return utt_per_sec / n_dev, float(losses["total"])
+        def run_n(n):
+            nonlocal state
+            losses = None
+            for _ in range(n):
+                state, losses = train_step(state, batch, lambdas, drop_rng)
+            final_loss[0] = float(losses["total"])  # scalar readback = fence
+
+        sec_per_step = _timed_slope(run_n, 5, 25)
+
+    utt_per_sec = BATCH / sec_per_step
+    return utt_per_sec / n_dev, final_loss[0]
 
 
 def bench_decode(jax, jnp):
@@ -111,19 +131,17 @@ def bench_decode(jax, jnp):
     lp = lp - jax.nn.logsumexp(lp, axis=-1, keepdims=True)
     lengths = jnp.full((DECODE_BATCH,), t_out, jnp.int32)
 
-    def run():
-        chars, parents, scores = beam_search(
-            lp, lengths, blank_id=1, pad_id=0, beam_width=DECODE_BEAM
-        )
-        jax.block_until_ready(scores)
+    def run_n(n):
+        s = None
+        for _ in range(n):
+            chars, parents, scores = beam_search(
+                lp, lengths, blank_id=1, pad_id=0, beam_width=DECODE_BEAM
+            )
+            s = scores
+        float(s[0, 0])  # scalar readback = fence
 
-    run()  # compile
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run()
-        times.append((time.perf_counter() - t0) / DECODE_BATCH)
-    return float(np.percentile(times, 50))
+    sec_per_batch = _timed_slope(run_n, 3, 9)
+    return sec_per_batch / DECODE_BATCH
 
 
 def main() -> None:
