@@ -79,8 +79,13 @@ def ctc_loss(
     allow_skip = is_label & (ext != prev2_label)  # (B, S2)
 
     # Per-state emission log-probs for every frame: (T, B, S2).
-    lp_ext = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[:, None, :], (B, T, S2)), axis=2
+    # Expressed as a one-hot matmul, not a gather — on TPU the equivalent
+    # take_along_axis gather lowers to a ~40 ms scalar loop at these shapes
+    # while the MXU einsum takes ~1 ms. HIGHEST precision keeps it exact
+    # (each row of the one-hot selects a single fp32 value).
+    onehot = jax.nn.one_hot(ext, V, dtype=log_probs.dtype)  # (B, S2, V)
+    lp_ext = jnp.einsum(
+        "btv,bsv->bts", log_probs, onehot, precision=jax.lax.Precision.HIGHEST
     )
     lp_ext = jnp.moveaxis(lp_ext, 1, 0)
 

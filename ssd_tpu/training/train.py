@@ -192,7 +192,9 @@ def run_train_epoch(
     lam = jnp.asarray(lambdas, jnp.float32)
     last_losses = None
     n_batches = 0
+    n_utterances = 0
     host_step = 0
+    epoch_start = time.time()
     for batch in prefetch(loader):
         arrays = batch_to_arrays(batch, include_teacher)
         arrays, _ = pad_batch_to_multiple(arrays, n_data)
@@ -201,6 +203,7 @@ def run_train_epoch(
         state, losses = train_step(state, device_batch, lam, dropout_rng)
         last_losses = losses
         n_batches += 1
+        n_utterances += batch.size
         host_step += 1  # host-side counter: no device sync in the hot loop
         if writer is not None and (
             host_step % (log_interval * grad_accum) == 0 or host_step == 1
@@ -211,7 +214,10 @@ def run_train_epoch(
             writer.add_scalar("train/distill_loss", float(losses["distill"]), update)
             writer.add_scalar("train/lr", float(schedule(update)), update)
     final = {k: float(v) for k, v in (last_losses or {}).items()}
+    # the float() above is a device→host readback, a true completion fence
+    wall = max(time.time() - epoch_start, 1e-9)
     final["batches"] = n_batches
+    final["utterances_per_sec_per_chip"] = n_utterances / wall / max(mesh.size, 1)
     return state, final
 
 
@@ -464,6 +470,11 @@ def _parse_args() -> argparse.Namespace:
     p.add_argument("--init-checkpoint", type=Path)
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--overfit-batches", type=int, default=0)
+    p.add_argument(
+        "--profile-dir",
+        type=Path,
+        help="Capture a jax.profiler trace of the first epoch into this dir.",
+    )
     return p.parse_args()
 
 
@@ -479,19 +490,20 @@ def main() -> None:
     from tensorboardX import SummaryWriter
 
     writer = SummaryWriter(log_dir=str(run_dir / "tb"))
+    if args.profile_dir:
+        jax.profiler.start_trace(str(args.profile_dir))
     try:
-        init_ckpt = args.init_checkpoint
-        if init_ckpt is not None and init_ckpt.is_dir() is False and init_ckpt.suffix:
-            init_ckpt = init_ckpt  # single path; load_checkpoint handles dirs
         train_from_config(
             cfg,
             run_dir,
-            init_checkpoint=init_ckpt,
+            init_checkpoint=args.init_checkpoint,
             dry_run=args.dry_run,
             overfit_batches=args.overfit_batches,
             writer=writer,
         )
     finally:
+        if args.profile_dir:
+            jax.profiler.stop_trace()
         writer.close()
 
 
