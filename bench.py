@@ -126,15 +126,30 @@ def bench_train(jax, jnp):
     return utt_per_sec / n_dev, final_loss[0]
 
 
-def bench_decode(jax, jnp):
-    from ssd_tpu.ops.ctc_decode import beam_search
-
+def _decode_inputs(jax, jnp):
     rng = np.random.default_rng(2)
-    t_out = 256  # ~5 s utterance post-subsample (compile-time friendly)
+    t_out = 256  # ~5 s utterance post-subsample
     logits = rng.normal(size=(DECODE_BATCH, t_out, VOCAB)).astype(np.float32) * 2
     lp = jnp.asarray(logits)
     lp = lp - jax.nn.logsumexp(lp, axis=-1, keepdims=True)
     lengths = jnp.full((DECODE_BATCH,), t_out, jnp.int32)
+    return lp, lengths
+
+
+def warm_decode(jax, jnp):
+    """Trigger the beam-search compile (run from a thread to overlap with the
+    train bench's compile — the remote compiler handles requests independently)."""
+    from ssd_tpu.ops.ctc_decode import beam_search
+
+    lp, lengths = _decode_inputs(jax, jnp)
+    _, _, scores = beam_search(lp, lengths, blank_id=1, pad_id=0, beam_width=DECODE_BEAM)
+    float(scores[0, 0])
+
+
+def bench_decode(jax, jnp):
+    from ssd_tpu.ops.ctc_decode import beam_search
+
+    lp, lengths = _decode_inputs(jax, jnp)
 
     def run_n(n):
         s = None
@@ -156,11 +171,19 @@ def main() -> None:
     # Cold-compile of the two graphs dominates wall-clock (~4–5 min each via
     # the remote TPU compiler); keep total under the driver's budget by
     # skipping the decode bench when the train bench already consumed it.
-    budget = float(os.environ.get("SSD_BENCH_BUDGET_SEC", "480"))
+    budget = float(os.environ.get("SSD_BENCH_BUDGET_SEC", "540"))
     t_start = time.time()
+
+    import threading
+
+    warm = threading.Thread(target=warm_decode, args=(jax, jnp), daemon=True)
+    warm.start()
+
     train_tput, loss = bench_train(jax, jnp)
     decode_p50 = None
-    if time.time() - t_start < budget - 200:
+    remaining = budget - (time.time() - t_start)
+    warm.join(timeout=max(remaining - 30, 0))
+    if not warm.is_alive() and remaining > 30:
         decode_p50 = bench_decode(jax, jnp)
     print(
         json.dumps(

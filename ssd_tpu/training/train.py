@@ -442,6 +442,10 @@ def train_from_config(
                 {
                     "params": state.params,
                     "batch_stats": state.batch_stats,
+                    # optimizer state saved for payload parity with the
+                    # reference (train.py:151-160); like the reference, warm
+                    # starts restore weights only
+                    "opt_state": state.opt_state,
                     "epoch": np.asarray(epoch),
                     "step": np.asarray(state.step),
                 },
