@@ -107,7 +107,7 @@ def bench_train(jax, jnp):
         "weight": np.ones((BATCH,), np.float32),
     }
     lambdas = jnp.asarray([0.65, 0.35], jnp.float32)
-    drop_rng = jax.random.PRNGKey(1)
+    drop_rng = jax.random.key(1, impl="rbg")
 
     with mesh:
         batch = shard_batch(mesh, batch_np)

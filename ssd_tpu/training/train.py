@@ -352,8 +352,12 @@ def train_from_config(
 
     model = build_model(cfg, input_dim=input_dim, vocab_size=vocab.size)
     tx, schedule = build_optimizer(cfg, total_updates)
-    init_rng, dropout_rng = jax.random.split(rng)
+    init_rng, _ = jax.random.split(rng)
     state = init_state(model, tx, input_dim, init_rng)
+    # dropout uses the hardware RBG generator: threefry mask generation costs
+    # ~15 ms/step at production shapes vs ~2 ms for rbg (measured on v5e)
+    seed = int(cfg["logging"].get("seed", 42))
+    dropout_rng = jax.random.key(seed + 1, impl="rbg")
 
     if init_checkpoint is not None:
         logger.info("Warm start from %s", init_checkpoint)
