@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ssd_tpu.ops.ctc_loss import ctc_loss
@@ -45,8 +46,16 @@ def interpolate_linear(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     coords = jnp.clip(coords, 0.0, t_in - 1)
     lo = jnp.floor(coords).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, t_in - 1)
-    w = (coords - lo)[None, :, None]
-    return x[:, lo] * (1.0 - w) + x[:, hi] * w
+    w = coords - lo
+    # Expressed as a banded interpolation-matrix matmul rather than a gather:
+    # gathers (and their scatter backward) lower poorly on TPU, while the
+    # (out_len, t_in) weight matrix rides the MXU. HIGHEST precision keeps
+    # fp32 parity with torch F.interpolate.
+    weights = jax.nn.one_hot(lo, t_in, dtype=x.dtype) * (1.0 - w)[:, None]
+    weights = weights + jax.nn.one_hot(hi, t_in, dtype=x.dtype) * w[:, None]
+    return jnp.einsum(
+        "ot,btd->bod", weights, x, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def distillation_mse(
