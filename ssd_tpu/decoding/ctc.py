@@ -6,11 +6,11 @@ returns a ``DecoderFn(log_probs, lengths) -> List[str]`` closure; knobs are
 ``beam_prune_logp`` and ``blank_bias``. The compute runs on device
 (:mod:`ssd_tpu.ops.ctc_decode`); only string materialization is host-side.
 
-When an ARPA LM path is given, beam hypotheses are rescored by shallow fusion
-(`score + alpha·log10 P_lm(text) + beta·|words|`) over the final beam list —
-the device search proposes, the n-gram rescores. (pyctcdecode fuses the LM
-*during* search; top-N rescoring with the beams the no-LM search returns is a
-close approximation at these beam widths and keeps the search on-device.)
+When an ARPA LM path is given, decoding switches to the host prefix beam
+search with **in-search** word-boundary LM fusion
+(:mod:`ssd_tpu.decoding.host_beam`, pyctcdecode semantics) — per-beam LM
+state has no efficient dense device representation. The LM-free path (the
+headline benchmark) stays fully on device.
 """
 
 from __future__ import annotations
@@ -61,7 +61,22 @@ def build_beam_decoder(
         lm = NGramLM.from_arpa(Path(lm_path))
 
     def decode(log_probs, lengths) -> List[str]:
-        chars, parents, scores = beam_search(
+        if lm is not None:
+            from ssd_tpu.decoding.host_beam import beam_search_lm_batch
+
+            return beam_search_lm_batch(
+                np.asarray(log_probs),
+                np.asarray(lengths),
+                vocab,
+                lm,
+                beam_width=beam_width,
+                alpha=alpha,
+                beta=beta,
+                beam_prune_logp=beam_prune_logp,
+                token_min_logp=token_min_logp,
+                blank_bias=blank_bias,
+            )
+        chars, parents, _ = beam_search(
             jnp.asarray(log_probs),
             jnp.asarray(lengths),
             blank_id=vocab.blank_id,
@@ -71,32 +86,8 @@ def build_beam_decoder(
             token_min_logp=token_min_logp,
             blank_bias=blank_bias,
         )
-        chars = np.asarray(chars)
-        parents = np.asarray(parents)
-        scores = np.asarray(scores)
-        B, K = scores.shape
-        if lm is None:
-            prefixes = traceback(chars, parents, 0)
-            return [vocab.decode(p) for p in prefixes]
-
-        # LM shallow fusion: rescore every surviving beam
-        hyps: List[str] = []
-        for b in range(B):
-            alive = [k for k in range(K) if scores[b, k] > -1e29]
-            texts = {}
-            for k in alive or [0]:
-                prefix = traceback(chars[:, b : b + 1], parents[:, b : b + 1], k)[0]
-                text = vocab.decode(prefix)
-                if text not in texts or scores[b, k] > texts[text]:
-                    texts[text] = scores[b, k]
-            best_text, _ = max(
-                texts.items(),
-                key=lambda kv: kv[1]
-                + alpha * lm.score_log10(kv[0]) * np.log(10.0)
-                + beta * max(len(kv[0].split()), 1),
-            )
-            hyps.append(best_text)
-        return hyps
+        prefixes = traceback(np.asarray(chars), np.asarray(parents), 0)
+        return [vocab.decode(p) for p in prefixes]
 
     return decode
 
