@@ -44,6 +44,7 @@ class EncoderConfig:
     subsample_factor: int = 4
     conv_norm: str = "batch"  # batch (torchaudio parity) | layer
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay fp32)
+    remat: bool = False  # rematerialize blocks in backward (memory ↔ FLOPs)
 
     @property
     def dtype(self):
@@ -242,8 +243,9 @@ class EMGConformerEncoder(nn.Module):
             lengths = jnp.full((x.shape[0],), x.shape[1] * c.subsample_factor)
         out_lengths = jnp.clip(subsampled_lengths(lengths, c), 0, t_out)
         pad_mask = _length_mask(out_lengths, t_out)
+        block_cls = nn.remat(ConformerBlock, static_argnums=(3,)) if c.remat else ConformerBlock
         for i in range(c.num_layers):
-            x = ConformerBlock(c, name=f"block_{i}")(x, pad_mask, train)
+            x = block_cls(c, name=f"block_{i}")(x, pad_mask, train)
         # zero padded frames (torchaudio masks attention only, but downstream
         # losses/decoders here consume masked positions explicitly anyway)
         x = jnp.where(pad_mask[:, :, None], x, 0.0)

@@ -59,6 +59,7 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         subsample_factor=enc.get("subsample_factor", 4),
         conv_norm=enc.get("conv_norm", "batch"),
         compute_dtype=enc.get("compute_dtype", "float32"),
+        remat=enc.get("remat", False),
     )
     return SSDModel(
         encoder_cfg=encoder_cfg,
