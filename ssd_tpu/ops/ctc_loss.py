@@ -45,7 +45,70 @@ def _extend_targets(targets: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     return ext.at[:, 1::2].set(targets)
 
 
-@functools.partial(jax.jit, static_argnames=("blank_id",))
+def _topology(targets: jnp.ndarray, blank_id: int, V: int):
+    """Extended labels, skip mask, and the one-hot selector matrix."""
+    ext = _extend_targets(targets.astype(jnp.int32), blank_id)  # (B, S2)
+    S2 = ext.shape[1]
+    is_label = (jnp.arange(S2) % 2 == 1)[None, :]
+    prev2_label = jnp.pad(ext[:, :-2], ((0, 0), (2, 0)), constant_values=-1)
+    allow_skip = is_label & (ext != prev2_label)  # skip INTO state s
+    onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)  # (B, S2, V)
+    return ext, allow_skip, onehot
+
+
+def _emissions(log_probs: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """(B,T,V) × (B,S2,V) → (T,B,S2) per-state emission log-probs.
+
+    Expressed as a one-hot matmul, not a gather — on TPU the equivalent
+    take_along_axis gather lowers to a ~40 ms scalar loop at training shapes
+    while the MXU einsum takes ~1 ms. HIGHEST precision keeps it exact
+    (each one-hot row selects a single fp32 value).
+    """
+    lp_ext = jnp.einsum(
+        "btv,bsv->bts", log_probs, onehot, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.moveaxis(lp_ext, 1, 0)
+
+
+def _forward_alphas(lp_ext: jnp.ndarray, allow_skip: jnp.ndarray):
+    """α recursion; returns all alphas (T, B, S2)."""
+    T, B, S2 = lp_ext.shape
+    alpha0 = jnp.full((B, S2), NEG_INF)
+    alpha0 = alpha0.at[:, 0].set(lp_ext[0, :, 0])
+    if S2 > 1:
+        alpha0 = alpha0.at[:, 1].set(lp_ext[0, :, 1])
+
+    def step(alpha, lp_t):
+        advance = jnp.pad(alpha[:, :-1], ((0, 0), (1, 0)), constant_values=NEG_INF)
+        skip = jnp.pad(alpha[:, :-2], ((0, 0), (2, 0)), constant_values=NEG_INF)
+        skip = jnp.where(allow_skip, skip, NEG_INF)
+        merged = jnp.logaddexp(jnp.logaddexp(alpha, advance), skip)
+        new_alpha = jnp.maximum(lp_t + merged, NEG_INF)
+        return new_alpha, new_alpha
+
+    _, alphas = jax.lax.scan(step, alpha0, lp_ext[1:])
+    return jnp.concatenate([alpha0[None], alphas], axis=0)
+
+
+def _loglik(alphas, logit_lengths, target_lengths):
+    """Gather log-likelihood from α at each sample's final frame/states."""
+    T, B, S2 = alphas.shape
+    t_last = jnp.clip(logit_lengths - 1, 0, T - 1)
+    alpha_last = jnp.take_along_axis(
+        jnp.moveaxis(alphas, 0, 1), t_last[:, None, None], axis=1
+    )[:, 0]  # (B, S2)
+    s_blank = jnp.clip(2 * target_lengths, 0, S2 - 1)
+    s_label = jnp.clip(2 * target_lengths - 1, 0, S2 - 1)
+    end_blank = jnp.take_along_axis(alpha_last, s_blank[:, None], axis=1)[:, 0]
+    end_label = jnp.where(
+        target_lengths > 0,
+        jnp.take_along_axis(alpha_last, s_label[:, None], axis=1)[:, 0],
+        NEG_INF,
+    )
+    return jnp.logaddexp(end_blank, end_label)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def ctc_loss(
     log_probs: jnp.ndarray,
     logit_lengths: jnp.ndarray,
@@ -64,71 +127,97 @@ def ctc_loss(
 
     Returns:
       ``(B,)`` float32 losses; impossible alignments yield 0 (zero_infinity).
+
+    The gradient uses the analytic α–β (forward–backward) posterior
+    ``∂loss/∂lp[t,v] = −Σ_{s: label(s)=v} exp(α_t(s)+β_t(s)−ll)`` via a
+    custom VJP — one extra reverse scan instead of autodiff's transposed
+    scan, ~2× faster and with exact posterior normalization.
     """
+    loss, _ = _ctc_fwd_impl(log_probs, logit_lengths, targets, target_lengths, blank_id)
+    return loss
+
+
+def _ctc_fwd_impl(log_probs, logit_lengths, targets, target_lengths, blank_id):
     log_probs = log_probs.astype(jnp.float32)
     B, T, V = log_probs.shape
-    S = targets.shape[1]
-    S2 = 2 * S + 1
-
-    ext = _extend_targets(targets.astype(jnp.int32), blank_id)  # (B, S2)
-
-    # Skip transition allowed into state s iff label[s] is non-blank and
-    # differs from label[s-2] (standard CTC topology).
-    is_label = (jnp.arange(S2) % 2 == 1)[None, :]
-    prev2_label = jnp.pad(ext[:, :-2], ((0, 0), (2, 0)), constant_values=-1)
-    allow_skip = is_label & (ext != prev2_label)  # (B, S2)
-
-    # Per-state emission log-probs for every frame: (T, B, S2).
-    # Expressed as a one-hot matmul, not a gather — on TPU the equivalent
-    # take_along_axis gather lowers to a ~40 ms scalar loop at these shapes
-    # while the MXU einsum takes ~1 ms. HIGHEST precision keeps it exact
-    # (each row of the one-hot selects a single fp32 value).
-    onehot = jax.nn.one_hot(ext, V, dtype=log_probs.dtype)  # (B, S2, V)
-    lp_ext = jnp.einsum(
-        "btv,bsv->bts", log_probs, onehot, precision=jax.lax.Precision.HIGHEST
-    )
-    lp_ext = jnp.moveaxis(lp_ext, 1, 0)
-
-    alpha0 = jnp.full((B, S2), NEG_INF)
-    alpha0 = alpha0.at[:, 0].set(lp_ext[0, :, 0])
-    if S > 0:
-        alpha0 = alpha0.at[:, 1].set(lp_ext[0, :, 1])
-
-    def step(alpha, lp_t):
-        stay = alpha
-        advance = jnp.pad(
-            alpha[:, :-1], ((0, 0), (1, 0)), constant_values=NEG_INF
-        )
-        skip = jnp.pad(alpha[:, :-2], ((0, 0), (2, 0)), constant_values=NEG_INF)
-        skip = jnp.where(allow_skip, skip, NEG_INF)
-        merged = jnp.logaddexp(jnp.logaddexp(stay, advance), skip)
-        new_alpha = jnp.maximum(lp_t + merged, NEG_INF)
-        return new_alpha, new_alpha
-
-    _, alphas = jax.lax.scan(step, alpha0, lp_ext[1:])
-    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # (T, B, S2)
-
-    # Gather α at the final valid frame of each sample.
-    t_last = jnp.clip(logit_lengths - 1, 0, T - 1)  # (B,)
-    alpha_last = jnp.take_along_axis(
-        jnp.moveaxis(alphas, 0, 1), t_last[:, None, None], axis=1
-    )[:, 0]  # (B, S2)
-
-    s_blank = jnp.clip(2 * target_lengths, 0, S2 - 1)
-    s_label = jnp.clip(2 * target_lengths - 1, 0, S2 - 1)
-    end_blank = jnp.take_along_axis(alpha_last, s_blank[:, None], axis=1)[:, 0]
-    end_label = jnp.where(
-        target_lengths > 0,
-        jnp.take_along_axis(alpha_last, s_label[:, None], axis=1)[:, 0],
-        NEG_INF,
-    )
-    ll = jnp.logaddexp(end_blank, end_label)
-    loss = -ll
-
-    # zero_infinity: kill impossible alignments. jnp.where's VJP routes zero
-    # cotangent into the untaken branch, so gradients vanish too.
+    _, allow_skip, onehot = _topology(targets, blank_id, V)
+    lp_ext = _emissions(log_probs, onehot)
+    alphas = _forward_alphas(lp_ext, allow_skip)
+    ll = _loglik(alphas, logit_lengths, target_lengths)
     impossible = ll <= NEG_INF / 2
-    return jnp.where(impossible, 0.0, loss)
+    loss = jnp.where(impossible, 0.0, -ll)
+    return loss, (lp_ext, alphas, allow_skip, onehot, ll, impossible)
+
+
+def _ctc_fwd(log_probs, logit_lengths, targets, target_lengths, blank_id):
+    loss, res = _ctc_fwd_impl(log_probs, logit_lengths, targets, target_lengths, blank_id)
+    return loss, (res, logit_lengths, target_lengths)
+
+
+def _ctc_bwd(blank_id, carry, g):
+    (lp_ext, alphas, allow_skip, onehot, ll, impossible), logit_lengths, target_lengths = carry
+    T, B, S2 = lp_ext.shape
+
+    # β recursion (reverse): β_t(s) = logsumexp over successors s' ∈
+    # {s, s+1, s+2·skip} of β_{t+1}(s') + lp_{t+1}(s'). Per-sample final
+    # frames differ, so β is *injected* at t = len−1 with the final-state
+    # indicator and stays NEG_INF for t ≥ len.
+    s_idx = jnp.arange(S2)[None, :]
+    final_mask = (s_idx == jnp.clip(2 * target_lengths, 0, S2 - 1)[:, None]) | (
+        (s_idx == jnp.clip(2 * target_lengths - 1, 0, S2 - 1)[:, None])
+        & (target_lengths > 0)[:, None]
+    )
+    beta_final = jnp.where(final_mask, 0.0, NEG_INF)  # (B, S2)
+
+    # skip FROM state s jumps into s+2 — gate by allow_skip shifted left
+    skip_from = jnp.pad(allow_skip[:, 2:], ((0, 0), (0, 2)), constant_values=False)
+
+    def step(beta_next, inputs):
+        lp_next, t = inputs  # lp_ext at t+1, scalar time index t
+        u = beta_next + lp_next  # (B, S2)
+        stay = u
+        advance = jnp.pad(u[:, 1:], ((0, 0), (0, 1)), constant_values=NEG_INF)
+        skip = jnp.pad(u[:, 2:], ((0, 0), (0, 2)), constant_values=NEG_INF)
+        skip = jnp.where(skip_from, skip, NEG_INF)
+        merged = jnp.maximum(
+            jnp.logaddexp(jnp.logaddexp(stay, advance), skip), NEG_INF
+        )
+        # inject the final-state indicator where t is this sample's last frame
+        is_last = (t == logit_lengths - 1)[:, None]
+        beta_t = jnp.where(is_last, beta_final, merged)
+        return beta_t, beta_t
+
+    beta_T = jnp.where(
+        (T - 1 == logit_lengths - 1)[:, None], beta_final, jnp.full((B, S2), NEG_INF)
+    )
+    _, betas_rev = jax.lax.scan(
+        step,
+        beta_T,
+        (lp_ext[1:][::-1], jnp.arange(T - 1)[::-1]),
+    )
+    betas = jnp.concatenate([betas_rev[::-1], beta_T[None]], axis=0)  # (T, B, S2)
+
+    t_idx = jnp.arange(T)[:, None, None]
+    valid = t_idx < logit_lengths[None, :, None]
+    posterior = jnp.exp(
+        jnp.clip(alphas + betas - ll[None, :, None], NEG_INF, 0.0)
+    )
+    posterior = jnp.where(valid, posterior, 0.0)
+    posterior = jnp.where(impossible[None, :, None], 0.0, posterior)
+
+    # ∂loss/∂lp_ext = −posterior, scaled by the upstream per-sample cotangent
+    grad_ext = -posterior * g[None, :, None]  # (T, B, S2)
+    # scatter back to vocab via the transposed one-hot matmul
+    grad_lp = jnp.einsum(
+        "tbs,bsv->btv",
+        grad_ext,
+        onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return grad_lp, None, None, None
+
+
+ctc_loss.defvjp(_ctc_fwd, _ctc_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("blank_id", "reduction"))
