@@ -320,6 +320,9 @@ def train_from_config(
         spec_augment_cfg=spec_cfg,
         channel_dropout_cfg=chan_cfg,
         max_items=train_limit,
+        # multi-host: each process loads its own shard of every epoch
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
         **common,
     )
     val_loader = make_dataloader(
@@ -489,7 +492,10 @@ def _parse_args() -> argparse.Namespace:
 def main() -> None:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     args = _parse_args()
+    from ssd_tpu.parallel.mesh import maybe_initialize_distributed
     from ssd_tpu.utils.config import load_config
+
+    maybe_initialize_distributed()
 
     cfg = load_config(args.config)
     run_name = cfg["logging"].get("run_name", "run")
