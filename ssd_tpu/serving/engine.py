@@ -1,0 +1,187 @@
+"""Inference engine: raw EMG → text, end-to-end on device.
+
+The reference stops at offline evaluation; this engine packages the full
+chain for serving — fused log-mel featurization (Pallas), Conformer encoder,
+and greedy or batched beam CTC decoding — behind one call:
+
+    engine = InferenceEngine.from_checkpoint("results/checkpoints/run/best")
+    hyps = engine.transcribe([emg1, emg2])   # raw (samples, channels) arrays
+
+Design points:
+
+* one jitted graph per (batch, time) bucket: raw samples pad to
+  ``SAMPLE_BUCKET`` multiples, batches to fixed sizes {1, 4, 8, …} — a small
+  warm-up enumerates them so production requests never hit a compile;
+* featurization happens on device from raw EMG (no feature cache needed);
+* per-request latency statistics kept for observability.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssd_tpu.data.vocab import Vocab
+from ssd_tpu.models.ssd_model import build_model
+from ssd_tpu.ops.ctc_decode import beam_search, greedy_decode, traceback
+from ssd_tpu.ops.featurizer import FeaturizerConfig, logmel_batch
+from ssd_tpu.training.checkpoint import load_checkpoint, load_config_for
+
+logger = logging.getLogger(__name__)
+
+SAMPLE_BUCKET = 2560  # raw-sample padding granularity (256 frames @ hop 10)
+BATCH_BUCKETS = (1, 4, 8)
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+@dataclass
+class LatencyStats:
+    samples: List[float] = field(default_factory=list)
+
+    def record(self, seconds: float) -> None:
+        self.samples.append(seconds)
+        if len(self.samples) > 10000:
+            del self.samples[: len(self.samples) // 2]
+
+    def summary(self) -> Dict[str, float]:
+        if not self.samples:
+            return {}
+        arr = np.asarray(self.samples)
+        return {
+            "count": int(arr.size),
+            "p50_ms": float(np.percentile(arr, 50) * 1e3),
+            "p90_ms": float(np.percentile(arr, 90) * 1e3),
+            "p99_ms": float(np.percentile(arr, 99) * 1e3),
+            "mean_ms": float(arr.mean() * 1e3),
+        }
+
+
+class InferenceEngine:
+    """Raw 8-channel EMG → text."""
+
+    def __init__(
+        self,
+        cfg: Dict[str, Any],
+        params,
+        batch_stats,
+        vocab: Vocab,
+        decoder: str = "greedy",
+        beam_width: int = 50,
+        blank_bias: float = 0.0,
+        featurizer_cfg: Optional[FeaturizerConfig] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.vocab = vocab
+        self.decoder = decoder
+        self.beam_width = beam_width
+        self.blank_bias = blank_bias
+        feat_cfg = cfg.get("features", {}).get("emg", {})
+        self.feat_cfg = featurizer_cfg or FeaturizerConfig(
+            sample_rate=feat_cfg.get("sample_rate", 1000),
+            n_fft=feat_cfg.get("n_fft", 320),
+            hop_length=feat_cfg.get("hop_length", 10),
+            n_mels=feat_cfg.get("n_mels", 80),
+            normalize=feat_cfg.get("normalize", "per_file"),
+        )
+        enc_cfg = cfg["model"]["encoder"]
+        input_dim = enc_cfg.get("input_dim")
+        if input_dim is None:
+            raise ValueError("encoder.input_dim required for serving")
+        self.model = build_model(cfg, input_dim=int(input_dim), vocab_size=vocab.size)
+        self.params = params
+        self.batch_stats = batch_stats
+        self.stats = LatencyStats()
+        self._pipeline = jax.jit(self._pipeline_impl, static_argnames=())
+
+    # ------------------------------------------------------------ factory
+    @classmethod
+    def from_checkpoint(
+        cls, ckpt_path: Path, vocab_path: Optional[Path] = None, **kwargs
+    ) -> "InferenceEngine":
+        cfg = load_config_for(Path(ckpt_path))
+        payload = load_checkpoint(Path(ckpt_path))
+        vocab = Vocab.from_json(vocab_path or Path(cfg["data"]["vocab"]))
+        return cls(cfg, payload["params"], payload["batch_stats"], vocab, **kwargs)
+
+    # ----------------------------------------------------------- pipeline
+    def _pipeline_impl(self, emg: jnp.ndarray, sample_lengths: jnp.ndarray):
+        """(B, L, C) raw EMG → (log_probs, out_lengths)."""
+        feats, frame_lengths, _, _ = logmel_batch(
+            emg, sample_lengths, self.feat_cfg, fused=jax.default_backend() == "tpu"
+        )
+        B, T, C, M = feats.shape
+        flat = feats.reshape(B, T, C * M)
+        log_probs, out_lengths, _ = self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            flat,
+            frame_lengths,
+            train=False,
+        )
+        return log_probs, out_lengths
+
+    def _decode(self, log_probs, out_lengths) -> List[str]:
+        if self.decoder == "beam":
+            chars, parents, _ = beam_search(
+                log_probs,
+                out_lengths,
+                blank_id=self.vocab.blank_id,
+                pad_id=self.vocab.pad_id,
+                beam_width=self.beam_width,
+                blank_bias=self.blank_bias,
+            )
+            prefixes = traceback(np.asarray(chars), np.asarray(parents), 0)
+            return [self.vocab.decode(p) for p in prefixes]
+        toks, counts = greedy_decode(
+            log_probs,
+            out_lengths,
+            blank_id=self.vocab.blank_id,
+            pad_id=self.vocab.pad_id,
+            blank_bias=self.blank_bias,
+        )
+        toks, counts = np.asarray(toks), np.asarray(counts)
+        return [self.vocab.decode(toks[i, : counts[i]]) for i in range(len(counts))]
+
+    # ------------------------------------------------------------- public
+    def transcribe(self, emg_arrays: Sequence[np.ndarray]) -> List[str]:
+        """Transcribe a list of raw (samples, channels) float arrays."""
+        t0 = time.perf_counter()
+        n = len(emg_arrays)
+        if n == 0:
+            return []
+        lengths = np.asarray([len(a) for a in emg_arrays], np.int32)
+        L_pad = _round_up(int(lengths.max()), SAMPLE_BUCKET)
+        B_pad = next((b for b in BATCH_BUCKETS if b >= n), _round_up(n, BATCH_BUCKETS[-1]))
+        C = emg_arrays[0].shape[1]
+        batch = np.zeros((B_pad, L_pad, C), np.float32)
+        for i, a in enumerate(emg_arrays):
+            batch[i, : len(a)] = a
+        pad_lengths = np.concatenate(
+            [lengths, np.full((B_pad - n,), self.feat_cfg.n_fft, np.int32)]
+        )
+        log_probs, out_lengths = self._pipeline(
+            jnp.asarray(batch), jnp.asarray(pad_lengths)
+        )
+        hyps = self._decode(log_probs, out_lengths)[:n]
+        per_utt = (time.perf_counter() - t0) / n
+        for _ in range(n):
+            self.stats.record(per_utt)
+        return hyps
+
+    def warmup(self, max_seconds: float = 12.0) -> None:
+        """Pre-compile the bucket grid so requests never hit a compile."""
+        C = int(self.cfg["model"]["encoder"]["input_dim"]) // self.feat_cfg.n_mels
+        for b in BATCH_BUCKETS:
+            n_samples = int(max_seconds * self.feat_cfg.sample_rate)
+            arrays = [np.zeros((n_samples, C), np.float32)] * b
+            self.transcribe(arrays)
+        self.stats.samples.clear()

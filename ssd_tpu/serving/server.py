@@ -1,0 +1,209 @@
+"""HTTP serving front-end with micro-batching.
+
+  python -m ssd_tpu.serving.server --checkpoint results/checkpoints/run/best \
+      [--port 8776] [--decoder beam] [--max-batch 8] [--max-wait-ms 10]
+
+Endpoints:
+  POST /transcribe   body: {"emg": <base64 of a float32 .npy (samples, C)>}
+                     or    {"emg_list": [<base64 npy>, …]}
+                     → {"hypotheses": ["text", …], "latency_ms": …}
+  GET  /healthz      → {"status": "ok"}
+  GET  /stats        → per-utterance latency percentiles
+
+Requests are micro-batched: a collector thread drains the queue up to
+``max_batch`` items or ``max_wait_ms``, whichever first, and runs one device
+call — the TPU sees large batches even under concurrent single-utterance
+load.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from ssd_tpu.serving.engine import InferenceEngine
+
+logger = logging.getLogger(__name__)
+
+
+def _decode_npy(b64: str) -> np.ndarray:
+    raw = base64.b64decode(b64)
+    arr = np.load(io.BytesIO(raw), allow_pickle=False)
+    if arr.ndim != 2:
+        raise ValueError(f"expected (samples, channels), got {arr.shape}")
+    return arr.astype(np.float32)
+
+
+def encode_npy(arr: np.ndarray) -> str:
+    """Client-side helper: ndarray → base64 npy string."""
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(arr, np.float32), allow_pickle=False)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class _Request:
+    __slots__ = ("emg", "event", "result", "error")
+
+    def __init__(self, emg: np.ndarray):
+        self.emg = emg
+        self.event = threading.Event()
+        self.result: Optional[str] = None
+        self.error: Optional[str] = None
+
+
+class MicroBatcher:
+    """Collects requests into device-sized batches."""
+
+    def __init__(self, engine: InferenceEngine, max_batch: int = 8, max_wait_ms: float = 10.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._stop = False
+        self._thread.start()
+
+    def submit(self, emg: np.ndarray, timeout: float = 60.0) -> str:
+        req = _Request(emg)
+        self.q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("transcription timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result  # type: ignore[return-value]
+
+    def shutdown(self) -> None:
+        self._stop = True
+
+    def _loop(self) -> None:
+        while not self._stop:
+            try:
+                first = self.q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch: List[_Request] = [first]
+            deadline = time.perf_counter() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                hyps = self.engine.transcribe([r.emg for r in batch])
+                for r, h in zip(batch, hyps):
+                    r.result = h
+            except Exception as exc:  # pragma: no cover - defensive
+                logger.exception("batch failed")
+                for r in batch:
+                    r.error = str(exc)
+            for r in batch:
+                r.event.set()
+
+
+def make_handler(batcher: MicroBatcher, engine: InferenceEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            logger.debug(fmt, *args)
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._reply(200, {"latency": engine.stats.summary()})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length))
+                t0 = time.perf_counter()
+                if "emg_list" in payload:
+                    arrays = [_decode_npy(b) for b in payload["emg_list"]]
+                    hyps = engine.transcribe(arrays)
+                else:
+                    hyps = [batcher.submit(_decode_npy(payload["emg"]))]
+                self._reply(
+                    200,
+                    {
+                        "hypotheses": hyps,
+                        "latency_ms": (time.perf_counter() - t0) * 1e3,
+                    },
+                )
+            except Exception as exc:
+                self._reply(400, {"error": str(exc)})
+
+    return Handler
+
+
+def serve(
+    checkpoint: Path,
+    port: int = 8776,
+    decoder: str = "greedy",
+    beam_width: int = 50,
+    max_batch: int = 8,
+    max_wait_ms: float = 10.0,
+    warmup: bool = True,
+) -> ThreadingHTTPServer:
+    engine = InferenceEngine.from_checkpoint(
+        checkpoint, decoder=decoder, beam_width=beam_width
+    )
+    if warmup:
+        logger.info("Warming compile cache…")
+        engine.warmup()
+    batcher = MicroBatcher(engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher, engine))
+    logger.info("Serving on :%d (decoder=%s)", port, decoder)
+    return server
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", type=Path, required=True)
+    p.add_argument("--port", type=int, default=8776)
+    p.add_argument("--decoder", choices=["greedy", "beam"], default="greedy")
+    p.add_argument("--beam-width", type=int, default=50)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.add_argument("--no-warmup", action="store_true")
+    args = p.parse_args()
+    server = serve(
+        args.checkpoint,
+        port=args.port,
+        decoder=args.decoder,
+        beam_width=args.beam_width,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        warmup=not args.no_warmup,
+    )
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

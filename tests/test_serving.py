@@ -1,0 +1,93 @@
+"""Serving tests: engine end-to-end from a trained checkpoint, HTTP server
+round-trip with micro-batching."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from ssd_tpu.training.train import train_from_config
+
+from .helpers import make_tiny_setup
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg, vocab, root = make_tiny_setup(tmp)
+    # serving featurizes raw EMG on device: input_dim must match C*M of the
+    # tiny feature shape (2*8=16)
+    cfg["model"]["encoder"]["input_dim"] = 16
+    cfg["features"]["emg"] = {
+        "sample_rate": 1000, "n_fft": 64, "hop_length": 16, "n_mels": 8,
+        "normalize": "per_file",
+    }
+    run_dir = root / "serve_run"
+    train_from_config(cfg, run_dir, dry_run=True)
+    return cfg, run_dir
+
+
+def _engine(ckpt, **kw):
+    from ssd_tpu.ops import featurizer as featmod
+    from ssd_tpu.serving import engine as engmod
+
+    cfg, run_dir = ckpt
+    # small sample bucket for the tiny featurizer config
+    engmod.SAMPLE_BUCKET = 256
+    engmod.BATCH_BUCKETS = (1, 2)
+    from ssd_tpu.serving.engine import InferenceEngine
+
+    return InferenceEngine.from_checkpoint(run_dir / "best", **kw)
+
+
+def test_engine_transcribes(ckpt):
+    engine = _engine(ckpt)
+    rng = np.random.default_rng(0)
+    # raw EMG: 2 channels at 1 kHz (tiny model)
+    arrays = [
+        rng.normal(size=(700, 2)).astype(np.float32),
+        rng.normal(size=(450, 2)).astype(np.float32),
+    ]
+    hyps = engine.transcribe(arrays)
+    assert len(hyps) == 2
+    assert all(isinstance(h, str) for h in hyps)
+    stats = engine.stats.summary()
+    assert stats["count"] == 2
+    # beam decoder path
+    engine_beam = _engine(ckpt, decoder="beam", beam_width=4)
+    hyps2 = engine_beam.transcribe(arrays[:1])
+    assert len(hyps2) == 1
+
+
+def test_http_server_roundtrip(ckpt):
+    from ssd_tpu.serving.server import encode_npy, serve
+
+    cfg, run_dir = ckpt
+    server = serve(run_dir / "best", port=0, warmup=False, max_wait_ms=5.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.load(r)["status"] == "ok"
+
+        rng = np.random.default_rng(1)
+        emg = rng.normal(size=(500, 2)).astype(np.float32)
+        body = json.dumps({"emg": encode_npy(emg)}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        assert len(out["hypotheses"]) == 1
+        assert out["latency_ms"] > 0
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            stats = json.load(r)["latency"]
+        assert stats.get("count", 0) >= 1
+    finally:
+        server.shutdown()
