@@ -185,3 +185,47 @@ class InferenceEngine:
             arrays = [np.zeros((n_samples, C), np.float32)] * b
             self.transcribe(arrays)
         self.stats.samples.clear()
+
+
+class StreamingTranscriber:
+    """Incremental transcription over a growing EMG stream.
+
+    Append raw samples with :meth:`feed`; every ``update_every_sec`` of new
+    audio the engine re-runs the full pipeline over the buffered signal
+    (bucket-padded, so the jit cache is bounded) and returns the refreshed
+    hypothesis. Full recompute is the honest strategy for a bidirectional
+    Conformer — at ≤30 s utterances a pipeline pass is a few ms on TPU, well
+    under the update interval.
+    """
+
+    def __init__(self, engine: InferenceEngine, update_every_sec: float = 0.5):
+        self.engine = engine
+        self.update_samples = int(update_every_sec * engine.feat_cfg.sample_rate)
+        self._chunks: List[np.ndarray] = []
+        self._since_update = 0
+        self.hypothesis = ""
+
+    def feed(self, samples: np.ndarray) -> Optional[str]:
+        """Append (n, C) samples; returns a new hypothesis when refreshed."""
+        self._chunks.append(np.asarray(samples, np.float32))
+        self._since_update += len(samples)
+        total = sum(len(c) for c in self._chunks)
+        if self._since_update < self.update_samples or total < self.engine.feat_cfg.n_fft:
+            return None
+        self._since_update = 0
+        emg = np.concatenate(self._chunks, axis=0)
+        self.hypothesis = self.engine.transcribe([emg])[0]
+        return self.hypothesis
+
+    def finish(self) -> str:
+        """Final hypothesis over the complete stream."""
+        if self._chunks:
+            emg = np.concatenate(self._chunks, axis=0)
+            if len(emg) >= self.engine.feat_cfg.n_fft:
+                self.hypothesis = self.engine.transcribe([emg])[0]
+        return self.hypothesis
+
+    def reset(self) -> None:
+        self._chunks.clear()
+        self._since_update = 0
+        self.hypothesis = ""

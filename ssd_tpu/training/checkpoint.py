@@ -48,12 +48,18 @@ def save_checkpoint(
     (run_dir / "config.json").write_text(json.dumps(cfg, indent=2))
 
 
-def load_checkpoint(path: Path) -> Dict[str, Any]:
-    """Restore a checkpoint directory (``…/last`` or ``…/best``)."""
+def load_checkpoint(path: Path, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Restore a checkpoint directory (``…/last`` or ``…/best``).
+
+    ``target`` (an abstract pytree, e.g. from ``jax.eval_shape``) makes the
+    restore topology-checked; without it orbax restores as saved.
+    """
     path = Path(path).resolve()
     if not path.exists():
         raise FileNotFoundError(path)
     ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, target)
     return ckptr.restore(path)
 
 
