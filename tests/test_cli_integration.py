@@ -84,6 +84,7 @@ def test_orchestrate_dry_run(setup, tmp_path):
     (tmp_path / "configs").mkdir()
     for name in ("tpu_fast_plus.yaml", "tpu_silent_finetune_plus.yaml"):
         shutil.copy(REPO / "configs" / name, tmp_path / "configs" / name)
+    shutil.copytree(REPO / "configs" / "experiments", tmp_path / "configs" / "experiments")
     r = _run(
         [sys.executable, "-m", "ssd_tpu.experiments.orchestrate", "--dry-run",
          "--stage", "stage1",

@@ -120,11 +120,12 @@ def test_write_summary_and_knobs(tmp_path):
 
 def test_run_specs_dry_run(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
-    # regenerate base configs relative to tmp cwd
-    (tmp_path / "configs").mkdir()
+    # regenerate base + experiment-data configs relative to tmp cwd
     import shutil
 
+    (tmp_path / "configs").mkdir()
     shutil.copy(Path("/root/repo/configs/tpu_fast_plus.yaml"), tmp_path / "configs/tpu_fast_plus.yaml")
+    shutil.copytree(Path("/root/repo/configs/experiments"), tmp_path / "configs/experiments")
     specs = build_voiced_probe_configs(2)[:1]
     records = run_specs(
         specs,
