@@ -136,13 +136,19 @@ def _decode_inputs(jax, jnp):
     return lp, lengths
 
 
+TOKEN_TOP_K = 16  # production decode path: per-frame token preselection
+
+
 def warm_decode(jax, jnp):
     """Trigger the beam-search compile (run from a thread to overlap with the
     train bench's compile — the remote compiler handles requests independently)."""
     from ssd_tpu.ops.ctc_decode import beam_search
 
     lp, lengths = _decode_inputs(jax, jnp)
-    _, _, scores = beam_search(lp, lengths, blank_id=1, pad_id=0, beam_width=DECODE_BEAM)
+    _, _, scores = beam_search(
+        lp, lengths, blank_id=1, pad_id=0, beam_width=DECODE_BEAM,
+        token_top_k=TOKEN_TOP_K,
+    )
     float(scores[0, 0])
 
 
@@ -155,7 +161,8 @@ def bench_decode(jax, jnp):
         s = None
         for _ in range(n):
             chars, parents, scores = beam_search(
-                lp, lengths, blank_id=1, pad_id=0, beam_width=DECODE_BEAM
+                lp, lengths, blank_id=1, pad_id=0, beam_width=DECODE_BEAM,
+                token_top_k=TOKEN_TOP_K,
             )
             s = scores
         float(s[0, 0])  # scalar readback = fence

@@ -53,6 +53,7 @@ def build_beam_decoder(
     beam_prune_logp: float = -10.0,
     blank_bias: float = 0.0,
     token_min_logp: float = -5.0,
+    token_top_k: Optional[int] = None,
 ) -> DecoderFn:
     lm = None
     if lm_path is not None and Path(lm_path).exists():
@@ -85,6 +86,7 @@ def build_beam_decoder(
             beam_prune_logp=beam_prune_logp,
             token_min_logp=token_min_logp,
             blank_bias=blank_bias,
+            token_top_k=token_top_k,
         )
         prefixes = traceback(np.asarray(chars), np.asarray(parents), 0)
         return [vocab.decode(p) for p in prefixes]

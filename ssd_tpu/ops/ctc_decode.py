@@ -100,7 +100,7 @@ def _segmented_logsumexp(values: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarra
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blank_id", "pad_id", "beam_width"),
+    static_argnames=("blank_id", "pad_id", "beam_width", "token_top_k"),
 )
 def beam_search(
     log_probs: jnp.ndarray,
@@ -111,12 +111,18 @@ def beam_search(
     beam_prune_logp: float = -10.0,
     token_min_logp: float = -5.0,
     blank_bias: float = 0.0,
+    token_top_k: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched CTC prefix beam search.
 
     Args:
       log_probs: ``(B, T, V)`` log-softmax outputs.
       lengths: ``(B,)`` valid frame counts.
+      token_top_k: when set, only the top-k tokens per frame are candidate
+        extensions (blank handled separately). The candidate sort shrinks
+        from ``K·(V+1)`` to ``K·(k+1)`` — exact whenever ≤k tokens pass the
+        ``token_min_logp`` admission (the typical peaked-softmax case, and
+        effectively what pyctcdecode's admission achieves).
 
     Returns:
       ``(chars (T, B, K) int32, parents (T, B, K) int32, final_scores
@@ -138,6 +144,17 @@ def beam_search(
     token_ids = jnp.arange(V, dtype=jnp.int32)
     ext_invalid = (token_ids == blank_id) | (token_ids == pad_id)  # (V,)
 
+    # Extension-token axis: all valid tokens (E = V), or the per-frame top-k
+    # (E = k). Blank/pad never extend; they are masked before selection.
+    masked_lp = jnp.where(ext_invalid[None, None, :], NEG_INF, lp)  # (B,T,V)
+    if token_top_k is not None and token_top_k < V:
+        ext_vals_all, ext_ids_all = jax.lax.top_k(masked_lp, token_top_k)
+        ext_ids_all = ext_ids_all.astype(jnp.int32)
+    else:
+        ext_vals_all = masked_lp
+        ext_ids_all = jnp.broadcast_to(token_ids[None, None, :], (B, T, V))
+    E = ext_vals_all.shape[2]
+
     # carry: p_b, p_nb, h1, h2, last, alive  — each (B, K)
     p_b0 = jnp.full((B, K), NEG_INF).at[:, 0].set(0.0)
     p_nb0 = jnp.full((B, K), NEG_INF)
@@ -145,11 +162,9 @@ def beam_search(
     h2_0 = jnp.zeros((B, K), jnp.uint32)
     last0 = jnp.full((B, K), -1, jnp.int32)
 
-    n_cand = K * (V + 1)
-
     def step(carry, inputs):
         p_b, p_nb, h1, h2, last = carry
-        lp_t, t_idx = inputs  # (B, V), scalar
+        lp_t, ext_vals, ext_ids, t_idx = inputs  # (B,V), (B,E), (B,E), scalar
 
         # token admission (pyctcdecode): below token_min_logp → only argmax
         argmax_v = jnp.argmax(lp_t, axis=-1)  # (B,)
@@ -168,42 +183,41 @@ def beam_search(
         )  # (B, K)
         stay_pnb = jnp.where(last >= 0, p_nb + lp_last, NEG_INF)
 
-        # ---- extension candidates (per beam × token)
-        lp_ext = jnp.where(ext_invalid[None, None, :], NEG_INF, lp_adm[:, None, :])
-        same_as_last = token_ids[None, None, :] == last[:, :, None]  # (B, K, V)
+        # ---- extension candidates (per beam × extension token)
+        ext_admitted = (ext_vals >= token_min_logp) | (
+            ext_ids == argmax_v[:, None]
+        )  # (B, E)
+        lp_ext = jnp.where(ext_admitted, ext_vals, NEG_INF)[:, None, :]  # (B,1,E)
+        same_as_last = ext_ids[:, None, :] == last[:, :, None]  # (B, K, E)
         base = jnp.where(same_as_last, p_b[:, :, None], p_tot[:, :, None])
-        ext_pnb = base + lp_ext  # (B, K, V)
-        ext_pb = jnp.full((B, K, V), NEG_INF)
+        ext_pnb = base + lp_ext  # (B, K, E)
+        ext_pb = jnp.full((B, K, E), NEG_INF)
 
         # hashes
-        vv = token_ids.astype(jnp.uint32) + jnp.uint32(1)
-        ext_h1 = h1[:, :, None] * _H1_MULT + vv[None, None, :]
-        ext_h2 = h2[:, :, None] * _H2_MULT + vv[None, None, :]
+        vv = ext_ids.astype(jnp.uint32) + jnp.uint32(1)  # (B, E)
+        ext_h1 = h1[:, :, None] * _H1_MULT + vv[:, None, :]
+        ext_h2 = h2[:, :, None] * _H2_MULT + vv[:, None, :]
 
-        # ---- flatten candidates: [stay (K), ext (K·V)]
-        cand_pb = jnp.concatenate([stay_pb, ext_pb.reshape(B, K * V)], axis=1)
-        cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(B, K * V)], axis=1)
-        cand_h1 = jnp.concatenate([h1, ext_h1.reshape(B, K * V)], axis=1)
-        cand_h2 = jnp.concatenate([h2, ext_h2.reshape(B, K * V)], axis=1)
+        ext_char = jnp.broadcast_to(ext_ids[:, None, :], (B, K, E)).reshape(B, K * E)
+
+        # ---- flatten candidates: [stay (K), ext (K·E)]
+        cand_pb = jnp.concatenate([stay_pb, ext_pb.reshape(B, K * E)], axis=1)
+        cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(B, K * E)], axis=1)
+        cand_h1 = jnp.concatenate([h1, ext_h1.reshape(B, K * E)], axis=1)
+        cand_h2 = jnp.concatenate([h2, ext_h2.reshape(B, K * E)], axis=1)
         parent = jnp.concatenate(
             [
                 jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K)),
                 jnp.broadcast_to(
-                    jnp.repeat(jnp.arange(K, dtype=jnp.int32), V)[None], (B, K * V)
+                    jnp.repeat(jnp.arange(K, dtype=jnp.int32), E)[None], (B, K * E)
                 ),
             ],
             axis=1,
         )
         cand_char = jnp.concatenate(
-            [
-                jnp.full((B, K), -1, jnp.int32),
-                jnp.broadcast_to(jnp.tile(token_ids, K)[None], (B, K * V)),
-            ],
-            axis=1,
+            [jnp.full((B, K), -1, jnp.int32), ext_char], axis=1
         )
-        cand_last = jnp.concatenate(
-            [last, jnp.broadcast_to(jnp.tile(token_ids, K)[None], (B, K * V))], axis=1
-        )
+        cand_last = jnp.concatenate([last, ext_char], axis=1)
 
         # ---- merge duplicates: lex-sort by hash pair, segmented logsumexp
         (s_h1, s_h2, s_pb, s_pnb, s_parent, s_char, s_last) = jax.lax.sort(
@@ -264,7 +278,12 @@ def beam_search(
     (p_b, p_nb, _, _, _), (chars, parents) = jax.lax.scan(
         step,
         carry0,
-        (jnp.moveaxis(lp, 0, 1), jnp.arange(T)),
+        (
+            jnp.moveaxis(lp, 0, 1),
+            jnp.moveaxis(ext_vals_all, 0, 1),
+            jnp.moveaxis(ext_ids_all, 0, 1),
+            jnp.arange(T),
+        ),
     )
     final_scores = jnp.logaddexp(p_b, p_nb)  # (B, K) — beams ranked desc
     return chars, parents, final_scores

@@ -138,6 +138,7 @@ class InferenceEngine:
                 pad_id=self.vocab.pad_id,
                 beam_width=self.beam_width,
                 blank_bias=self.blank_bias,
+                token_top_k=min(16, self.vocab.size),  # serving fast path
             )
             prefixes = traceback(np.asarray(chars), np.asarray(parents), 0)
             return [self.vocab.decode(p) for p in prefixes]
