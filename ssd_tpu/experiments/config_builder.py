@@ -24,6 +24,15 @@ CONFIG_ROOT = Path("configs")
 VOICED_BASE_CONFIG = CONFIG_ROOT / "tpu_fast_plus.yaml"
 SILENT_BASE_CONFIG = CONFIG_ROOT / "tpu_silent_finetune_plus.yaml"
 EXPERIMENTS_DIR = CONFIG_ROOT / "experiments"
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
+
+def _resolve(path: Path) -> Path:
+    """cwd-relative first (experiment workdirs), repo-relative fallback."""
+    if path.exists():
+        return path
+    fallback = _REPO_ROOT / path
+    return fallback if fallback.exists() else path
 
 
 @dataclass
@@ -53,7 +62,7 @@ class RunSpec:
 
 
 def _load_grid(key: str) -> List[DecoderSetting]:
-    grids = load_config(EXPERIMENTS_DIR / "decoder_grids.yaml")
+    grids = load_config(_resolve(EXPERIMENTS_DIR / "decoder_grids.yaml"))
     out = []
     for entry in grids[key]:
         entry = dict(entry)
@@ -102,8 +111,8 @@ def _probe_specs(
     probe_batches: int,
     init_checkpoint: Optional[Path] = None,
 ) -> List[RunSpec]:
-    data = load_config(EXPERIMENTS_DIR / spec_file)
-    base = deep_update(load_config(base_config), data.get("base_overrides", {}))
+    data = load_config(_resolve(EXPERIMENTS_DIR / spec_file))
+    base = deep_update(load_config(_resolve(base_config)), data.get("base_overrides", {}))
     grid = _grid(grid_key)
     specs = []
     for variant in data["variants"]:
@@ -200,7 +209,7 @@ def _anchor_spec(base_cfg: Dict, name: str, dataset: str, grid, description: str
 
 
 def build_voiced_stage2_configs(best_probe: Dict, include_baseline: bool = True) -> List[RunSpec]:
-    base_cfg = load_config(VOICED_BASE_CONFIG)
+    base_cfg = load_config(_resolve(VOICED_BASE_CONFIG))
     grid = _grid("full_voiced")
     specs: List[RunSpec] = []
     if include_baseline:
@@ -256,7 +265,7 @@ def build_voiced_stage2_configs(best_probe: Dict, include_baseline: bool = True)
 def build_silent_stage2_configs(
     best_probe: Dict, init_checkpoint: Path, include_baseline: bool = True
 ) -> List[RunSpec]:
-    base_cfg = load_config(SILENT_BASE_CONFIG)
+    base_cfg = load_config(_resolve(SILENT_BASE_CONFIG))
     grid = _grid("full_silent")
     specs: List[RunSpec] = []
     if include_baseline:
