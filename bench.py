@@ -21,10 +21,6 @@ import time
 
 import numpy as np
 
-# persistent XLA compilation cache: the two jitted graphs dominate bench
-# wall-clock (~8 min cold) — cached reruns take seconds
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ssd_tpu_jax_cache")
-
 MPS_BASELINE_UTT_PER_SEC = 2.0
 
 # realistic voiced-utterance shapes: ~7.7 s at 100 fps (hop 10 ms), 640-dim

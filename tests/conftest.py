@@ -14,13 +14,11 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# persistent compile cache: the suite's dominant cost is re-compiling the
-# same train/decode graphs; the cache cuts repeat runs dramatically
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ssd_tpu_test_jax_cache")
+# NOTE: do NOT enable the persistent compilation cache here — on this jax
+# build, restoring a cached executable with donated buffers aborts the
+# process (reproducible SIGABRT in the train-step loop on warm cache).
 
 # The axon TPU plugin can override JAX_PLATFORMS; pin via jax.config too.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -21,7 +21,6 @@ def _run(cmd, cwd=None):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env["PYTHONPATH"] = str(REPO)
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/ssd_tpu_test_jax_cache"
     return subprocess.run(
         cmd, cwd=cwd or REPO, env=env, capture_output=True, text=True, timeout=600
     )

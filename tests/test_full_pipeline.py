@@ -23,7 +23,6 @@ def _run(cmd, cwd):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env["PYTHONPATH"] = str(REPO)
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/ssd_tpu_test_jax_cache"
     r = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, f"{' '.join(map(str, cmd))}\n{r.stderr[-3000:]}"
     return r
