@@ -158,6 +158,28 @@ def test_beam_length_masking():
     assert full[0] == padded[0]
 
 
+def test_token_top_k_matches_exact_on_peaked_logits():
+    """Per-frame token preselection is exact when ≤k tokens pass admission
+    (the production regime: peaked softmax outputs)."""
+    from ssd_tpu.ops.ctc_decode import beam_search
+
+    rng = np.random.default_rng(7)
+    B, T, V = 3, 40, 24
+    logits = rng.normal(size=(B, T, V)).astype(np.float32)
+    logits[:, :, BLANK] += 2.0
+    for b in range(B):
+        for t in range(T):
+            logits[b, t, rng.integers(2, V)] += 5.0
+    lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))).astype(np.float32)
+    lengths = jnp.asarray([40, 25, 33])
+
+    exact = beam_search(jnp.asarray(lp), lengths, BLANK, PAD, 12)
+    pruned = beam_search(jnp.asarray(lp), lengths, BLANK, PAD, 12, token_top_k=8)
+    want = traceback(np.asarray(exact[0]), np.asarray(exact[1]), 0)
+    got = traceback(np.asarray(pruned[0]), np.asarray(pruned[1]), 0)
+    assert want == got
+
+
 def test_beam_blank_bias_suppresses_tokens():
     rng = np.random.default_rng(4)
     T, V = 10, 6
