@@ -133,6 +133,11 @@ def _parse_args() -> argparse.Namespace:
     p.add_argument("--splits", nargs="+", default=None)
     p.add_argument("--subsets", nargs="+", default=None)
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument(
+        "--device",
+        choices=["cpu", "tpu"],
+        help="Force a backend (reference parity: cpu/mps/cuda; auto if unset).",
+    )
     p.add_argument("--output", type=Path)
     p.add_argument("--run-name", type=str)
     p.add_argument("--decoder", choices=["greedy", "beam"], default=None)
@@ -148,6 +153,8 @@ def _parse_args() -> argparse.Namespace:
 def main() -> None:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
     args = _parse_args()
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     ckpt_path = args.checkpoint
     cfg = load_config_for(ckpt_path)
     data_cfg = cfg["data"]
