@@ -93,12 +93,29 @@ def _losses(
     normalize_distill: bool,
     train: bool,
     dropout_rng: Optional[jax.Array],
+    augment: Optional[Tuple] = None,
 ) -> Tuple[jnp.ndarray, Tuple[Dict[str, jnp.ndarray], Any]]:
+    emg = batch["emg"]
+    if train and augment is not None and dropout_rng is not None:
+        spec_cfg, chan_cfg, n_mels = augment
+        k_spec, k_chan = jax.random.split(jax.random.fold_in(dropout_rng, 7), 2)
+        if chan_cfg is not None:
+            from ssd_tpu.data.augment import channel_dropout_jax
+
+            B, T, F = emg.shape
+            emg = channel_dropout_jax(
+                emg.reshape(B, T, F // n_mels, n_mels), chan_cfg, k_chan
+            ).reshape(B, T, F)
+        if spec_cfg is not None:
+            from ssd_tpu.data.augment import spec_augment_jax
+
+            emg = spec_augment_jax(emg, batch["emg_lengths"], spec_cfg, k_spec)
+
     variables = {"params": params, "batch_stats": batch_stats}
     kwargs = dict(mutable=["batch_stats"]) if train else dict(mutable=False)
     rngs = {"dropout": dropout_rng} if train else None
     out = model.apply(
-        variables, batch["emg"], batch["emg_lengths"], train=train, rngs=rngs, **kwargs
+        variables, emg, batch["emg_lengths"], train=train, rngs=rngs, **kwargs
     )
     if train:
         (log_probs, out_lengths, student), updates = out
@@ -133,14 +150,18 @@ def _losses(
     return total, (losses, new_batch_stats)
 
 
-def make_train_step(model, tx, blank_id, normalize_distill):
+def make_train_step(model, tx, blank_id, normalize_distill, augment=None):
+    """``augment=(spec_cfg, chan_cfg, n_mels)`` moves SpecAugment/channel
+    dropout onto the device inside the jitted step (PRNG-keyed); None keeps
+    the host-side loader augmentation (reference semantics)."""
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lambdas, dropout_rng):
         rng = jax.random.fold_in(dropout_rng, state.step)
         grad_fn = jax.value_and_grad(
             lambda p: _losses(
                 model, p, state.batch_stats, batch, lambdas, blank_id,
-                normalize_distill, True, rng,
+                normalize_distill, True, rng, augment,
             ),
             has_aux=True,
         )
@@ -292,6 +313,12 @@ def train_from_config(
     rng = set_seed(cfg["logging"].get("seed", 42))
     vocab = Vocab.from_json(Path(cfg["data"]["vocab"]))
     spec_cfg, chan_cfg = _augment_cfgs(cfg)
+    # `augmentation.on_device: true` fuses SpecAugment/channel-dropout into
+    # the jitted step (PRNG-keyed) instead of the host loader
+    on_device_augment = bool(cfg.get("augmentation", {}).get("on_device", False))
+    loader_spec_cfg, loader_chan_cfg = (
+        (None, None) if on_device_augment else (spec_cfg, chan_cfg)
+    )
 
     include_teacher = bool(cfg["data"].get("include_teacher", True))
     teacher_strict = bool(cfg["data"].get("teacher_strict", True))
@@ -317,8 +344,8 @@ def train_from_config(
         batch_size=cfg["optim"]["batch_size"],
         shuffle=shuffle_train,
         seed=seed,
-        spec_augment_cfg=spec_cfg,
-        channel_dropout_cfg=chan_cfg,
+        spec_augment_cfg=loader_spec_cfg,
+        channel_dropout_cfg=loader_chan_cfg,
         max_items=train_limit,
         # multi-host: each process loads its own shard of every epoch
         num_shards=jax.process_count(),
@@ -381,7 +408,11 @@ def train_from_config(
     distill_warmup_epochs = int(cfg["loss"].get("distill_warmup_epochs", 0))
     blank_id = vocab.blank_id
 
-    train_step = make_train_step(model, tx, blank_id, normalize_distill)
+    augment = None
+    if on_device_augment and (spec_cfg is not None or chan_cfg is not None):
+        n_mels = cfg.get("features", {}).get("emg", {}).get("n_mels", 80)
+        augment = (spec_cfg, chan_cfg, int(n_mels))
+    train_step = make_train_step(model, tx, blank_id, normalize_distill, augment)
     eval_step = make_eval_step(model, blank_id, normalize_distill)
 
     early = cfg["optim"].get("early_stopping", {}) or {}
