@@ -22,7 +22,7 @@ executable serves a length bucket.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import flax.linen as nn

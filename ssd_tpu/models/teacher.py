@@ -12,7 +12,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ssd_tpu.models.wavlm import WavLMConfig, WavLMTeacher
+from ssd_tpu.models.wavlm import WavLMTeacher
 
 
 @dataclass

@@ -26,9 +26,9 @@ checkout) and remaps to this module's parameter tree — no torch at runtime.
 
 from __future__ import annotations
 
-import functools
+
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 

@@ -10,7 +10,7 @@ step — optax.MultiSteps gives the same semantics).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import optax
