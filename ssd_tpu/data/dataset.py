@@ -13,7 +13,13 @@ Replaces the reference's ``EMGFeatureDataset``/``collate_batch``/torch
   so the jitted train step compiles once per bucket instead of once per
   shape (the key departure from the PyTorch loader, SURVEY.md §7.3);
 * deterministic per-epoch shuffling and augmentation via seeded numpy RNG;
-* optional per-host sharding for multi-host data parallelism;
+* multi-host sharding that is correct by construction: every process builds
+  the SAME global batch list (same seed ⇒ same permutation ⇒ same
+  bucket-sorted global batches) and takes its contiguous row slice, padding
+  to the GLOBAL batch's bucket shapes and a fixed row count — all processes
+  therefore run identical step counts with identical compiled shapes, the
+  requirement for assembling global arrays with
+  ``jax.make_array_from_process_local_data`` (see ``parallel/mesh.py``);
 * background prefetch thread in place of DataLoader worker processes.
 """
 
@@ -99,6 +105,9 @@ class EMGFeatureDataset:
         self.strict = strict
         self.channel_dropout_cfg = channel_dropout_cfg or ChannelDropoutConfig()
         self._lengths_cache: Dict[int, int] = {}
+        self._teacher_lengths_cache: Dict[int, int] = {}
+        self._token_lengths_cache: Dict[int, int] = {}
+        self._teacher_dim: Optional[int] = None
 
     def __len__(self) -> int:
         return len(self.df)
@@ -118,6 +127,32 @@ class EMGFeatureDataset:
                 raise FileNotFoundError(path)
             self._lengths_cache[idx] = int(np.load(path, mmap_mode="r").shape[0])
         return self._lengths_cache[idx]
+
+    def teacher_length(self, idx: int) -> int:
+        """Teacher frame count of item ``idx`` (0 when absent; header only)."""
+        if idx not in self._teacher_lengths_cache:
+            path = self._teacher_path(self.df.iloc[idx]["utterance_id"])
+            if not path.exists():
+                self._teacher_lengths_cache[idx] = 0
+            else:
+                arr = np.load(path, mmap_mode="r")
+                self._teacher_lengths_cache[idx] = int(arr.shape[0])
+                self._teacher_dim = int(arr.shape[1])
+        return self._teacher_lengths_cache[idx]
+
+    def teacher_dim(self) -> Optional[int]:
+        """Teacher feature dim, from the first existing teacher file."""
+        if self._teacher_dim is None:
+            for i in range(len(self.df)):
+                if self.teacher_length(i) > 0:
+                    break
+        return self._teacher_dim
+
+    def token_length(self, idx: int) -> int:
+        if idx not in self._token_lengths_cache:
+            transcript = self.df.iloc[idx]["transcript_norm"]
+            self._token_lengths_cache[idx] = len(self.vocab.encode(transcript))
+        return self._token_lengths_cache[idx]
 
     def get(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict:
         row = self.df.iloc[idx]
@@ -158,14 +193,27 @@ def collate(
     time_bucket: int = TIME_BUCKET,
     token_bucket: int = TOKEN_BUCKET,
     teacher_bucket: int = TEACHER_BUCKET,
+    pad_time_to: Optional[int] = None,
+    pad_tokens_to: Optional[int] = None,
+    pad_teacher_to: Optional[int] = None,
+    pad_rows_to: Optional[int] = None,
+    teacher_dim: Optional[int] = None,
 ) -> Batch:
-    """Right-pad items to bucket-rounded static shapes."""
+    """Right-pad items to bucket-rounded static shapes.
+
+    The ``pad_*_to`` targets force larger paddings than this item list needs
+    — multi-host loaders pass the GLOBAL batch's bucket shapes so every
+    process produces identically shaped arrays. ``pad_rows_to`` appends
+    all-zero rows (length 0, weight handled by the caller via
+    :attr:`Batch.size`). ``pad_teacher_to``+``teacher_dim`` force the teacher
+    arrays to exist even when no local item carries teacher features.
+    """
     emg_lengths = np.asarray([it["emg"].shape[0] for it in items], np.int32)
     token_lengths = np.asarray([len(it["tokens"]) for it in items], np.int32)
-    T = _round_up(int(emg_lengths.max()), time_bucket)
-    S = _round_up(int(token_lengths.max()), token_bucket)
+    T = max(_round_up(int(emg_lengths.max()), time_bucket), pad_time_to or 0)
+    S = max(_round_up(int(token_lengths.max()), token_bucket), pad_tokens_to or 0)
     F = items[0]["emg"].shape[1]
-    B = len(items)
+    B = max(len(items), pad_rows_to or 0)
 
     emg = np.zeros((B, T, F), np.float32)
     tokens = np.full((B, S), vocab.pad_id, np.int32)
@@ -175,21 +223,30 @@ def collate(
             x = spec_augment_np(x, spec_augment_cfg, rng)
         emg[i, : x.shape[0]] = x
         tokens[i, : len(it["tokens"])] = it["tokens"]
+    if B > len(items):
+        emg_lengths = np.pad(emg_lengths, (0, B - len(items)))
+        token_lengths = np.pad(token_lengths, (0, B - len(items)))
 
     teacher = None
     teacher_lengths = None
-    if any(it["teacher"] is not None for it in items):
+    if any(it["teacher"] is not None for it in items) or pad_teacher_to:
         t_lens = np.asarray(
             [0 if it["teacher"] is None else it["teacher"].shape[0] for it in items],
             np.int32,
         )
-        Tt = _round_up(int(t_lens.max()), teacher_bucket)
-        D = next(it["teacher"].shape[1] for it in items if it["teacher"] is not None)
+        Tt = max(
+            _round_up(int(t_lens.max()) if len(t_lens) else 1, teacher_bucket),
+            pad_teacher_to or 0,
+        )
+        D = next(
+            (it["teacher"].shape[1] for it in items if it["teacher"] is not None),
+            teacher_dim,
+        )
         teacher = np.zeros((B, Tt, D), np.float32)
         for i, it in enumerate(items):
             if it["teacher"] is not None:
                 teacher[i, : it["teacher"].shape[0]] = it["teacher"]
-        teacher_lengths = t_lens
+        teacher_lengths = np.pad(t_lens, (0, B - len(t_lens)))
 
     return Batch(
         utterance_ids=[it["utterance_id"] for it in items],
@@ -211,6 +268,17 @@ class DataLoader:
     and the batch order shuffled again — randomness with near-uniform batch
     shapes. Without shuffling (eval), items keep index order and batches are
     cut sequentially (reference eval behavior).
+
+    Multi-host (``num_shards > 1``): batches are built GLOBALLY — size
+    ``batch_size × num_shards``, cut from the same seeded permutation on
+    every process — and each process takes its contiguous ``batch_size``-row
+    slice, padded to the global batch's bucket shapes and exactly
+    ``batch_size`` rows. All processes therefore iterate the same number of
+    identically-shaped steps (no cross-process deadlock), and the per-process
+    arrays assemble into one global batch via
+    ``jax.make_array_from_process_local_data``. Requires the feature cache on
+    a filesystem visible to every process (same contract as the reference's
+    shared ``results/features`` tree).
     """
 
     def __init__(
@@ -242,47 +310,89 @@ class DataLoader:
             indices = indices[: min(max_items, len(indices))]
         self._indices = indices
 
-    def __len__(self) -> int:
-        n = len(self._shard(self._indices))
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+    @property
+    def _global_batch_size(self) -> int:
+        return self.batch_size * self.num_shards
 
-    def _shard(self, indices: List[int]) -> List[int]:
-        if self.num_shards == 1:
-            return indices
-        return indices[self.shard_index :: self.num_shards]
+    def __len__(self) -> int:
+        n = len(self._indices)
+        bg = self._global_batch_size
+        if self.drop_last:
+            return n // bg
+        return (n + bg - 1) // bg
 
     def _epoch_batches(self, rng: np.random.Generator) -> List[List[int]]:
+        """Global batch index lists — identical on every process (same seed)."""
         indices = list(self._indices)
         if self.shuffle:
             rng.shuffle(indices)
-        indices = self._shard(indices)
         if self.shuffle and self.bucket_batches:
             # stable sort by bucketed length keeps shuffle randomness within
             # equal-bucket groups while minimizing padding waste
             indices.sort(key=lambda i: _round_up(self.dataset.feature_length(i), TIME_BUCKET))
-        batches = [
-            indices[i : i + self.batch_size]
-            for i in range(0, len(indices), self.batch_size)
-        ]
-        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+        bg = self._global_batch_size
+        batches = [indices[i : i + bg] for i in range(0, len(indices), bg)]
+        if self.drop_last and batches and len(batches[-1]) < bg:
             batches.pop()
         if self.shuffle:
             rng.shuffle(batches)
         return batches
 
+    def _shard_pad_kwargs(self, global_batch: List[int]) -> Dict:
+        """Bucket shapes of the GLOBAL batch, for cross-process agreement."""
+        ds = self.dataset
+        t_max = max(ds.feature_length(i) for i in global_batch)
+        s_max = max(ds.token_length(i) for i in global_batch)
+        kwargs: Dict = dict(
+            pad_time_to=_round_up(t_max, TIME_BUCKET),
+            pad_tokens_to=_round_up(s_max, TOKEN_BUCKET),
+            pad_rows_to=self.batch_size,
+        )
+        if ds.include_teacher:
+            tt_max = max(ds.teacher_length(i) for i in global_batch)
+            if tt_max > 0:
+                kwargs["pad_teacher_to"] = _round_up(tt_max, TEACHER_BUCKET)
+                kwargs["teacher_dim"] = ds.teacher_dim()
+        return kwargs
+
     def __iter__(self) -> Iterator[Batch]:
         rng = np.random.default_rng((self.seed, self.epoch))
         self.epoch += 1
-        for batch_indices in self._epoch_batches(rng):
-            items = [self.dataset.get(i, rng if self.shuffle else None) for i in batch_indices]
-            yield collate(
-                items,
-                self.dataset.vocab,
-                spec_augment_cfg=self.spec_augment_cfg if self.shuffle else None,
-                rng=rng,
-            )
+        for global_batch in self._epoch_batches(rng):
+            if self.num_shards == 1:
+                batch_indices = global_batch
+                pad_kwargs: Dict = {}
+            else:
+                lo = self.shard_index * self.batch_size
+                batch_indices = global_batch[lo : lo + self.batch_size]
+                pad_kwargs = self._shard_pad_kwargs(global_batch)
+            if batch_indices:
+                items = [
+                    self.dataset.get(i, rng if self.shuffle else None)
+                    for i in batch_indices
+                ]
+                yield collate(
+                    items,
+                    self.dataset.vocab,
+                    spec_augment_cfg=self.spec_augment_cfg if self.shuffle else None,
+                    rng=rng,
+                    **pad_kwargs,
+                )
+            else:
+                # a tiny final global batch can leave this shard empty; all
+                # processes must still step — emit an all-padding batch
+                donor = self.dataset.get(global_batch[0])
+                batch = collate([donor], self.dataset.vocab, **pad_kwargs)
+                batch.emg[:] = 0.0
+                batch.emg_lengths[:] = 0
+                batch.tokens[:] = self.dataset.vocab.pad_id
+                batch.token_lengths[:] = 0
+                if batch.teacher is not None:
+                    batch.teacher[:] = 0.0
+                    batch.teacher_lengths[:] = 0
+                batch.utterance_ids = []
+                batch.transcripts = []
+                yield batch
 
 
 def prefetch(loader: DataLoader, size: int = 2) -> Iterator[Batch]:

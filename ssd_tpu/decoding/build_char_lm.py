@@ -60,7 +60,11 @@ def _parse_args() -> argparse.Namespace:
 
 
 def main() -> None:
-    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    # force=True: orbax.checkpoint installs a root handler at import time,
+    # which would otherwise turn this basicConfig into a silent no-op
+    logging.basicConfig(
+        level=logging.INFO, format="%(levelname)s: %(message)s", force=True
+    )
     args = _parse_args()
     transcripts = collect_transcripts(args.index, args.splits, args.subsets)
     if not transcripts:

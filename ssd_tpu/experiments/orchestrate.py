@@ -354,7 +354,11 @@ def parse_args() -> argparse.Namespace:
 
 
 def main() -> None:
-    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    # force=True: orbax.checkpoint installs a root handler at import time,
+    # which would otherwise turn this basicConfig into a silent no-op
+    logging.basicConfig(
+        level=logging.INFO, format="%(levelname)s: %(message)s", force=True
+    )
     args = parse_args()
 
     records: List[Dict] = []

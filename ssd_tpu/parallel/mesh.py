@@ -62,12 +62,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_from_config(cfg, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Mesh from the ``parallel:`` config block.
+
+    Schema: ``parallel: {data: auto|int, model: int}`` — both optional;
+    defaults to pure data parallelism over every device. ``data: auto`` (or
+    absent) derives the data degree from the device count.
+    """
+    par = (cfg or {}).get("parallel", {}) or {}
+    model = int(par.get("model", 1))
+    data = par.get("data", "auto")
+    data = None if data in (None, "auto") else int(data)
+    return make_mesh(data=data, model=model, devices=devices)
+
+
 def shard_batch(mesh: Mesh, tree):
-    """Place a pytree of host arrays with the batch axis sharded over data."""
+    """Place a pytree of host arrays with the batch axis sharded over data.
+
+    Single process: a plain ``device_put`` to the NamedSharding. Multi
+    process: each host holds a DIFFERENT local batch, and the supported way
+    to assemble the global array is ``jax.make_array_from_process_local_data``
+    (device_put of a host-local array to a global sharding is not) — the
+    loader guarantees identical local shapes/step counts across processes
+    (see ``data/dataset.py`` multi-host contract).
+    """
     sharding = batch_sharding(mesh)
 
-    def put(x):
-        return jax.device_put(x, sharding)
+    if jax.process_count() > 1:
+
+        def put(x):
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    else:
+
+        def put(x):
+            return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, tree)
 

@@ -183,7 +183,11 @@ def serve(
 
 
 def main() -> None:
-    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    # force=True: orbax.checkpoint installs a root handler at import time,
+    # which would otherwise turn this basicConfig into a silent no-op
+    logging.basicConfig(
+        level=logging.INFO, format="%(levelname)s: %(message)s", force=True
+    )
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", type=Path, required=True)
     p.add_argument("--port", type=int, default=8776)

@@ -41,7 +41,8 @@ from ssd_tpu.data.vocab import Vocab
 from ssd_tpu.models.losses import LossWeights, distillation_mse
 from ssd_tpu.models.ssd_model import SSDModel, build_model
 from ssd_tpu.ops.ctc_loss import ctc_loss
-from ssd_tpu.parallel.mesh import make_mesh, pad_batch_to_multiple, shard_batch
+from ssd_tpu.parallel.mesh import mesh_from_config, pad_batch_to_multiple, shard_batch
+from ssd_tpu.parallel.partition import check_tp_divisibility, shard_state
 from ssd_tpu.training.checkpoint import (
     load_checkpoint,
     load_params_partial,
@@ -209,7 +210,8 @@ def run_train_epoch(
     schedule,
     grad_accum: int,
 ) -> Tuple[TrainState, Dict[str, float]]:
-    n_data = mesh.shape["data"]
+    # local row divisor: this process's slice of the data axis
+    n_data = max(1, mesh.shape["data"] // jax.process_count())
     lam = jnp.asarray(lambdas, jnp.float32)
     last_losses = None
     n_batches = 0
@@ -226,9 +228,9 @@ def run_train_epoch(
         n_batches += 1
         n_utterances += batch.size
         host_step += 1  # host-side counter: no device sync in the hot loop
-        if writer is not None and (
-            host_step % (log_interval * grad_accum) == 0 or host_step == 1
-        ):
+        # float(...) below is a device sync; gated strictly behind
+        # log_interval so the steady-state loop stays async-dispatched
+        if writer is not None and host_step % (log_interval * grad_accum) == 0:
             update = host_step // grad_accum
             writer.add_scalar("train/total_loss", float(losses["total"]), update)
             writer.add_scalar("train/ctc_loss", float(losses["ctc"]), update)
@@ -245,7 +247,7 @@ def run_train_epoch(
 def run_eval_epoch(
     eval_step, state: TrainState, loader: DataLoader, mesh, lambdas, include_teacher
 ) -> Dict[str, float]:
-    n_data = mesh.shape["data"]
+    n_data = max(1, mesh.shape["data"] // jax.process_count())
     lam = jnp.asarray(lambdas, jnp.float32)
     totals, ctcs, distills = [], [], []
     for batch in prefetch(loader):
@@ -359,6 +361,8 @@ def train_from_config(
         shuffle=False,
         seed=seed,
         max_items=val_limit,
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
         **common,
     )
     logger.info(
@@ -380,6 +384,15 @@ def train_from_config(
     updates_per_epoch = max(1, math.ceil(len(train_loader) / grad_accum))
     total_updates = max_epochs * updates_per_epoch
 
+    mesh = mesh_from_config(cfg)
+    model_par = mesh.shape["model"]
+    if model_par > 1 and not check_tp_divisibility(cfg["model"], model_par):
+        raise ValueError(
+            f"parallel.model={model_par} must divide ffn_dim and num_heads "
+            f"({cfg['model']['encoder']['ffn_dim']}, {cfg['model']['encoder']['num_heads']})"
+        )
+    logger.info("Mesh: %s over %d device(s)", dict(mesh.shape), mesh.size)
+
     model = build_model(cfg, input_dim=input_dim, vocab_size=vocab.size)
     tx, schedule = build_optimizer(cfg, total_updates)
     init_rng, _ = jax.random.split(rng)
@@ -397,8 +410,10 @@ def train_from_config(
             batch_stats=load_params_partial(state.batch_stats, payload["batch_stats"]),
         )
 
-    mesh = make_mesh()
-    logger.info("Mesh: %s over %d device(s)", dict(mesh.shape), mesh.size)
+    # place the whole TrainState per the partition rules: tensor-parallel
+    # shards over `model` (ffn + attention heads, optimizer moments included),
+    # everything else replicated — same rules the driver dryrun exercises
+    state = shard_state(mesh, state)
 
     base_weights = LossWeights(
         lambda_distill=float(cfg["loss"]["lambda_distill"]),
@@ -521,7 +536,11 @@ def _parse_args() -> argparse.Namespace:
 
 
 def main() -> None:
-    logging.basicConfig(level=logging.INFO, format="%(levelname)s: %(message)s")
+    # force=True: orbax.checkpoint installs a root handler at import time,
+    # which would otherwise turn this basicConfig into a silent no-op
+    logging.basicConfig(
+        level=logging.INFO, format="%(levelname)s: %(message)s", force=True
+    )
     args = _parse_args()
     from ssd_tpu.parallel.mesh import maybe_initialize_distributed
     from ssd_tpu.utils.config import load_config
