@@ -165,6 +165,10 @@ bool decode_residual(BitReader& br, uint32_t block_size, uint32_t order,
   if (block_size % partitions != 0) return false;
   uint32_t part_len = block_size >> partition_order;
   if (part_len <= 0) return false;
+  // FLAC spec: the first partition holds (part_len - order) samples, so it
+  // must have more than `order` — otherwise `count` underflows on a corrupt
+  // stream and the loop below allocates unbounded scratch before EOF.
+  if (part_len <= order) return false;
 
   residual->clear();
   residual->reserve(block_size - order);

@@ -103,10 +103,15 @@ def spec_augment_jax(
 
     t_idx = jnp.arange(T)[None, None, :]  # (1, 1, T)
     widths = (cfg.time_mask_width * lengths).astype(jnp.int32)  # (B,)
-    t_starts = (
-        jax.random.uniform(k_t, (B, cfg.time_masks))
-        * jnp.maximum(lengths[:, None] - widths[:, None], 0)
-    ).astype(jnp.int32)
+    # +1 inside the scale so the last valid offset L−w is reachable — matches
+    # the host path's inclusive randint(0, L−w) distribution
+    t_starts = jnp.minimum(
+        (
+            jax.random.uniform(k_t, (B, cfg.time_masks))
+            * (jnp.maximum(lengths[:, None] - widths[:, None], 0) + 1)
+        ).astype(jnp.int32),
+        jnp.maximum(lengths[:, None] - widths[:, None], 0),
+    )
     t_mask = jnp.any(
         (t_idx >= t_starts[:, :, None]) & (t_idx < (t_starts + widths[:, None])[:, :, None]),
         axis=1,
@@ -114,9 +119,12 @@ def spec_augment_jax(
 
     f_idx = jnp.arange(F)[None, None, :]
     f_width = min(cfg.freq_mask_width, F)
-    f_starts = (
-        jax.random.uniform(k_f, (B, cfg.freq_masks)) * max(F - f_width, 0)
-    ).astype(jnp.int32)
+    f_starts = jnp.minimum(
+        (
+            jax.random.uniform(k_f, (B, cfg.freq_masks)) * (max(F - f_width, 0) + 1)
+        ).astype(jnp.int32),
+        max(F - f_width, 0),
+    )
     f_mask = jnp.any(
         (f_idx >= f_starts[:, :, None]) & (f_idx < f_starts[:, :, None] + f_width),
         axis=1,

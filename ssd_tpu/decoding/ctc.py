@@ -103,8 +103,15 @@ def build_decoder(
     beta: float = 0.0,
     beam_prune_logp: float = -10.0,
     blank_bias: float = 0.0,
+    token_top_k: Optional[int] = None,
 ) -> DecoderFn:
-    """Reference-surface dispatch (``ctc.py:102-122``)."""
+    """Reference-surface dispatch (``ctc.py:102-122``) plus ``token_top_k``.
+
+    ``token_top_k`` restricts per-frame extension candidates to the top-k
+    tokens — exact whenever ≤k tokens pass the ``token_min_logp`` admission
+    (see :func:`ssd_tpu.ops.ctc_decode.beam_search`); the production serving
+    and bench path uses 16. None keeps the exact all-token sort.
+    """
     if method.lower() == "beam":
         return build_beam_decoder(
             vocab=vocab,
@@ -114,5 +121,6 @@ def build_decoder(
             beta=beta,
             beam_prune_logp=beam_prune_logp,
             blank_bias=blank_bias,
+            token_top_k=token_top_k,
         )
     return build_greedy_decoder(vocab, blank_bias=blank_bias)

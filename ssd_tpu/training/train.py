@@ -180,6 +180,40 @@ def make_train_step(model, tx, blank_id, normalize_distill, augment=None):
     return train_step
 
 
+def make_flush_step(tx):
+    """Zero-gradient micro-step: flushes a partial gradient accumulation.
+
+    The reference performs a final optimizer step for leftover gradients when
+    ``len(loader) % grad_accum != 0`` (reference train.py:264-266). With
+    optax.MultiSteps the equivalent is topping the accumulation window up
+    with zero-gradient micro-steps: MultiSteps keeps an incremental mean, so
+    j real + (k−j) zero micro-steps update with (Σ grads)/k — exactly the
+    reference's 1/k-scaled leftover update. No forward pass runs, so batch
+    statistics are untouched.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def flush_step(state: TrainState):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        updates, new_opt_state = tx.update(zeros, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+
+    return flush_step
+
+
+def flush_partial_accumulation(state: TrainState, flush_step, grad_accum: int):
+    """Apply the end-of-epoch leftover-gradient update (if any)."""
+    if grad_accum <= 1:
+        return state
+    mini = int(jax.device_get(state.opt_state.mini_step))
+    for _ in range((grad_accum - mini) % grad_accum):
+        state = flush_step(state)
+    return state
+
+
 def make_eval_step(model, blank_id, normalize_distill):
     @jax.jit
     def eval_step(state: TrainState, batch, lambdas):
@@ -429,6 +463,7 @@ def train_from_config(
         augment = (spec_cfg, chan_cfg, int(n_mels))
     train_step = make_train_step(model, tx, blank_id, normalize_distill, augment)
     eval_step = make_eval_step(model, blank_id, normalize_distill)
+    flush_step = make_flush_step(tx) if grad_accum > 1 else None
 
     early = cfg["optim"].get("early_stopping", {}) or {}
     patience = int(early.get("patience", 0))
@@ -461,6 +496,8 @@ def train_from_config(
                 schedule,
                 grad_accum,
             )
+            if flush_step is not None:
+                state = flush_partial_accumulation(state, flush_step, grad_accum)
             train_time = time.time() - start
             val_losses = run_eval_epoch(
                 eval_step, state, val_loader, mesh, lambdas, include_teacher
@@ -536,11 +573,9 @@ def _parse_args() -> argparse.Namespace:
 
 
 def main() -> None:
-    # force=True: orbax.checkpoint installs a root handler at import time,
-    # which would otherwise turn this basicConfig into a silent no-op
-    logging.basicConfig(
-        level=logging.INFO, format="%(levelname)s: %(message)s", force=True
-    )
+    from ssd_tpu.utils.config import setup_cli_logging
+
+    setup_cli_logging()
     args = _parse_args()
     from ssd_tpu.parallel.mesh import maybe_initialize_distributed
     from ssd_tpu.utils.config import load_config

@@ -10,10 +10,25 @@ from __future__ import annotations
 
 import copy
 import json
+import logging
 from pathlib import Path
 from typing import Any, Dict
 
 import yaml
+
+
+def setup_cli_logging() -> None:
+    """INFO logging for our CLIs, with library noise tamed.
+
+    ``force=True`` because orbax.checkpoint installs a root handler at import
+    time, which would otherwise turn ``basicConfig`` into a silent no-op;
+    orbax/absl per-save INFO chatter is demoted to WARNING.
+    """
+    logging.basicConfig(
+        level=logging.INFO, format="%(levelname)s: %(message)s", force=True
+    )
+    for noisy in ("orbax", "absl", "jax._src"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
 
 
 def load_config(path: Path | str) -> Dict[str, Any]:
