@@ -37,6 +37,37 @@ MEASURE_STEPS = 20
 DECODE_BATCH = 8
 DECODE_BEAM = 50
 
+# peak bf16 TFLOP/s per chip by device kind (for the MFU estimate)
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5": 459.0,  # v5p
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def _train_step_flops() -> float:
+    """Analytic matmul FLOPs of one train step (fwd ≈ ⅓, bwd ≈ ⅔).
+
+    Counts every MXU op at the bench shapes: subsampler conv, per-block
+    qkv/out + attention scores/values + macaron FFN pair + conv-module
+    pointwise/depthwise, projection + CTC heads. Elementwise work is ignored
+    (standard MFU convention).
+    """
+    B, D, H, FFN = BATCH, 288, 6, 1152
+    T = T_FRAMES // 2  # post ×2 subsample
+    hd = D // H
+    mm = lambda m, k, n: 2.0 * m * k * n  # noqa: E731
+    sub = mm(B * T, INPUT_DIM * 5, D)  # stride-2 k=5 conv as matmul
+    qkvo = 4 * mm(B * T, D, D)
+    attn = 2 * 2.0 * B * H * T * T * hd  # scores + values
+    ffn = 2 * (mm(B * T, D, FFN) + mm(B * T, FFN, D))
+    convm = mm(B * T, D, 2 * D) + mm(B * T, D, D) + 2.0 * B * T * D * 15
+    block = qkvo + attn + ffn + convm
+    heads = mm(B * T, D, TEACHER_DIM) + mm(B * T, D, VOCAB)
+    fwd = sub + 6 * block + heads
+    return 3.0 * fwd  # backward ≈ 2× forward
+
 
 def _timed_slope(run_n, n_small: int, n_large: int) -> float:
     """Per-iteration seconds via two-point slope.
@@ -119,7 +150,7 @@ def bench_train(jax, jnp):
         sec_per_step = _timed_slope(run_n, 5, 25)
 
     utt_per_sec = BATCH / sec_per_step
-    return utt_per_sec / n_dev, final_loss[0]
+    return utt_per_sec / n_dev, final_loss[0], sec_per_step
 
 
 def _decode_inputs(jax, jnp):
@@ -148,7 +179,7 @@ def warm_decode(jax, jnp):
     float(scores[0, 0])
 
 
-def bench_decode(jax, jnp):
+def bench_decode(jax, jnp, token_top_k=TOKEN_TOP_K):
     from ssd_tpu.ops.ctc_decode import beam_search
 
     lp, lengths = _decode_inputs(jax, jnp)
@@ -158,7 +189,7 @@ def bench_decode(jax, jnp):
         for _ in range(n):
             chars, parents, scores = beam_search(
                 lp, lengths, blank_id=1, pad_id=0, beam_width=DECODE_BEAM,
-                token_top_k=TOKEN_TOP_K,
+                token_top_k=token_top_k,
             )
             s = scores
         float(s[0, 0])  # scalar readback = fence
@@ -182,12 +213,25 @@ def main() -> None:
     warm = threading.Thread(target=warm_decode, args=(jax, jnp), daemon=True)
     warm.start()
 
-    train_tput, loss = bench_train(jax, jnp)
+    train_tput, loss, sec_per_step = bench_train(jax, jnp)
     decode_p50 = None
+    decode_p50_exact = None
     remaining = budget - (time.time() - t_start)
     warm.join(timeout=max(remaining - 30, 0))
     if not warm.is_alive() and remaining > 30:
         decode_p50 = bench_decode(jax, jnp)
+    # exact (all-token-sort) decode path: the eval CLI default; compile+measure
+    # only when budget allows (it is a separate executable)
+    if time.time() - t_start < budget - 120:
+        try:
+            decode_p50_exact = bench_decode(jax, jnp, token_top_k=None)
+        except Exception:
+            decode_p50_exact = None
+
+    flops = _train_step_flops()
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_TFLOPS.items() if kind.startswith(k)), None)
+    achieved_tflops = flops / sec_per_step / 1e12
     print(
         json.dumps(
             {
@@ -199,9 +243,22 @@ def main() -> None:
                     "beam50_decode_p50_sec_per_utt": (
                         round(decode_p50, 4) if decode_p50 is not None else None
                     ),
+                    "beam50_exact_decode_p50_sec_per_utt": (
+                        round(decode_p50_exact, 4)
+                        if decode_p50_exact is not None
+                        else None
+                    ),
+                    "decode_token_top_k": TOKEN_TOP_K,
                     "final_loss": round(loss, 3),
                     "batch": BATCH,
                     "frames": T_FRAMES,
+                    "sec_per_step": round(sec_per_step, 5),
+                    "flops_per_step": round(flops),
+                    "achieved_bf16_tflops": round(achieved_tflops, 1),
+                    "mfu_estimate": (
+                        round(achieved_tflops / peak, 3) if peak else None
+                    ),
+                    "device_kind": kind,
                     "n_devices": len(jax.devices()),
                     "mps_baseline_estimate_utt_per_sec": MPS_BASELINE_UTT_PER_SEC,
                 },

@@ -72,10 +72,14 @@ def step_fn(model, tx, batch, state, lambdas, rng, use_ctc=True, use_distill=Tru
                 student, out_lengths, batch["teacher"], batch["teacher_lengths"], normalize=False)
         else:
             total += jnp.sum(student.astype(jnp.float32)) * 1e-12
-        return total, upd["batch_stats"]
+        return total, upd.get("batch_stats", {})
 
     (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     import optax
+    from flax.core import freeze
+
+    if isinstance(state.batch_stats, type(freeze({}))):
+        new_bs = freeze(new_bs)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return state.replace(params=new_params, batch_stats=new_bs,

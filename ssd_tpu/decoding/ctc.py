@@ -6,11 +6,11 @@ returns a ``DecoderFn(log_probs, lengths) -> List[str]`` closure; knobs are
 ``beam_prune_logp`` and ``blank_bias``. The compute runs on device
 (:mod:`ssd_tpu.ops.ctc_decode`); only string materialization is host-side.
 
-When an ARPA LM path is given, decoding switches to the host prefix beam
-search with **in-search** word-boundary LM fusion
-(:mod:`ssd_tpu.decoding.host_beam`, pyctcdecode semantics) — per-beam LM
-state has no efficient dense device representation. The LM-free path (the
-headline benchmark) stays fully on device.
+When an ARPA LM path is given, decoding uses the **on-device** fused beam
+search (:mod:`ssd_tpu.decoding.device_lm`): the n-gram packed into a device
+hash table, word-history hashes carried per beam in the scan, pyctcdecode
+fusion semantics. The host prefix search (:mod:`ssd_tpu.decoding.host_beam`)
+is kept as the oracle and is selectable with ``host_lm=True``.
 """
 
 from __future__ import annotations
@@ -54,14 +54,35 @@ def build_beam_decoder(
     blank_bias: float = 0.0,
     token_min_logp: float = -5.0,
     token_top_k: Optional[int] = None,
+    host_lm: bool = False,
 ) -> DecoderFn:
     lm = None
+    lm_table = None
     if lm_path is not None and Path(lm_path).exists():
         from ssd_tpu.decoding.lm import NGramLM
 
         lm = NGramLM.from_arpa(Path(lm_path))
+        if not host_lm:
+            from ssd_tpu.decoding.device_lm import pack_lm
+
+            lm_table = pack_lm(lm, vocab)
 
     def decode(log_probs, lengths) -> List[str]:
+        if lm_table is not None:
+            from ssd_tpu.decoding.device_lm import beam_decode_lm_device
+
+            return beam_decode_lm_device(
+                jnp.asarray(log_probs),
+                jnp.asarray(lengths),
+                vocab,
+                lm_table,
+                beam_width=beam_width,
+                alpha=alpha,
+                beta=beta,
+                beam_prune_logp=beam_prune_logp,
+                token_min_logp=token_min_logp,
+                blank_bias=blank_bias,
+            )
         if lm is not None:
             from ssd_tpu.decoding.host_beam import beam_search_lm_batch
 
@@ -104,13 +125,15 @@ def build_decoder(
     beam_prune_logp: float = -10.0,
     blank_bias: float = 0.0,
     token_top_k: Optional[int] = None,
+    host_lm: bool = False,
 ) -> DecoderFn:
     """Reference-surface dispatch (``ctc.py:102-122``) plus ``token_top_k``.
 
     ``token_top_k`` restricts per-frame extension candidates to the top-k
     tokens — exact whenever ≤k tokens pass the ``token_min_logp`` admission
     (see :func:`ssd_tpu.ops.ctc_decode.beam_search`); the production serving
-    and bench path uses 16. None keeps the exact all-token sort.
+    and bench path uses 16. None keeps the exact all-token sort. ``host_lm``
+    selects the host oracle for LM decoding instead of the device kernel.
     """
     if method.lower() == "beam":
         return build_beam_decoder(
@@ -122,5 +145,6 @@ def build_decoder(
             beam_prune_logp=beam_prune_logp,
             blank_bias=blank_bias,
             token_top_k=token_top_k,
+            host_lm=host_lm,
         )
     return build_greedy_decoder(vocab, blank_bias=blank_bias)

@@ -154,6 +154,13 @@ def _parse_args() -> argparse.Namespace:
         "(exact when ≤k tokens pass token_min_logp; 0/unset = exact sort). "
         "The serving/bench production path uses 16.",
     )
+    p.add_argument(
+        "--lm-backend",
+        choices=["device", "host"],
+        default="device",
+        help="LM-fused decoding backend: on-device hashed-table fusion "
+        "(default) or the host prefix-search oracle.",
+    )
     return p.parse_args()
 
 
@@ -211,6 +218,7 @@ def main() -> None:
         beam_prune_logp=float(prune),
         blank_bias=blank_bias,
         token_top_k=token_top_k,
+        host_lm=args.lm_backend == "host",
     )
     logger.info(
         "Decoder: %s | LM: %s | width %s | α %.2f β %.2f | prune %.1f | blank_bias %.2f | top_k %s",

@@ -208,6 +208,14 @@ def _anchor_spec(base_cfg: Dict, name: str, dataset: str, grid, description: str
     )
 
 
+def _knob(best_probe: Dict, key: str, default):
+    """Probe-knob lookup where a recorded None (knob absent from the probe
+    config) falls back to the stage-2 default — best_probe.get() would
+    propagate the None into the generated config (crashes the trainer)."""
+    value = best_probe.get(key)
+    return default if value is None else value
+
+
 def build_voiced_stage2_configs(best_probe: Dict, include_baseline: bool = True) -> List[RunSpec]:
     base_cfg = load_config(_resolve(VOICED_BASE_CONFIG))
     grid = _grid("full_voiced")
@@ -224,24 +232,24 @@ def build_voiced_stage2_configs(best_probe: Dict, include_baseline: bool = True)
         "augmentation": {
             "specaugment": {
                 "p": max(best_probe.get("specaugment_p") or 0.25, 0.15),
-                "time_masks": best_probe.get("specaugment_time_masks", 2),
-                "freq_masks": best_probe.get("specaugment_freq_masks", 2),
-                "time_mask_width": best_probe.get("specaugment_time_width", 0.06),
-                "freq_mask_width": best_probe.get("specaugment_freq_width", 8),
+                "time_masks": _knob(best_probe, "specaugment_time_masks", 2),
+                "freq_masks": _knob(best_probe, "specaugment_freq_masks", 2),
+                "time_mask_width": _knob(best_probe, "specaugment_time_width", 0.06),
+                "freq_mask_width": _knob(best_probe, "specaugment_freq_width", 8),
             }
         },
         "loss": {
-            "lambda_ctc": best_probe.get("lambda_ctc", 0.65),
-            "lambda_distill": best_probe.get("lambda_distill", 0.35),
-            "distill_warmup_epochs": best_probe.get("distill_warmup_epochs", 2),
+            "lambda_ctc": _knob(best_probe, "lambda_ctc", 0.65),
+            "lambda_distill": _knob(best_probe, "lambda_distill", 0.35),
+            "distill_warmup_epochs": _knob(best_probe, "distill_warmup_epochs", 2),
         },
         "optim": {
             "scheduler": best_probe.get("scheduler_cfg")
-            or {"name": best_probe.get("scheduler", "warmup_hold"), "warmup_steps": 600},
+            or {"name": _knob(best_probe, "scheduler", "warmup_hold"), "warmup_steps": 600},
             "max_epochs": 50,
             "early_stopping": {"patience": 5, "min_delta": 0.0},
         },
-        "model": {"encoder": {"dropout": best_probe.get("dropout", 0.12)}},
+        "model": {"encoder": {"dropout": _knob(best_probe, "dropout", 0.12)}},
     }
     adapted = deep_update(base_cfg, overrides)
     adapted = deep_update(adapted, _channel_dropout_overrides(best_probe))
@@ -279,14 +287,14 @@ def build_silent_stage2_configs(
 
     spec_defaults = base_cfg.get("augmentation", {}).get("specaugment", {})
     overrides: Dict[str, Any] = {
-        "model": {"encoder": {"subsample_factor": best_probe.get("subsample_factor", 2)}},
+        "model": {"encoder": {"subsample_factor": _knob(best_probe, "subsample_factor", 2)}},
         "augmentation": {
             "specaugment": {
-                "p": best_probe.get("specaugment_p", spec_defaults.get("p", 0.05)),
-                "time_masks": best_probe.get("specaugment_time_masks", 1),
-                "freq_masks": best_probe.get("specaugment_freq_masks", 1),
-                "time_mask_width": best_probe.get("specaugment_time_width", 0.05),
-                "freq_mask_width": best_probe.get("specaugment_freq_width", 6),
+                "p": _knob(best_probe, "specaugment_p", spec_defaults.get("p", 0.05)),
+                "time_masks": _knob(best_probe, "specaugment_time_masks", 1),
+                "freq_masks": _knob(best_probe, "specaugment_freq_masks", 1),
+                "time_mask_width": _knob(best_probe, "specaugment_time_width", 0.05),
+                "freq_mask_width": _knob(best_probe, "specaugment_freq_width", 6),
             }
         },
         "optim": {"max_epochs": 32, "early_stopping": {"patience": 5, "min_delta": 0.0}},

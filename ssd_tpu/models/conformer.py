@@ -29,6 +29,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ssd_tpu.ops.dropout import FastDropout
+
 
 @dataclass(frozen=True)
 class EncoderConfig:
@@ -107,9 +109,9 @@ class _FeedForward(nn.Module):
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
         x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="w1")(x)
         x = nn.silu(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.d_model, dtype=self.dtype, name="w2")(x)
-        return nn.Dropout(self.dropout, deterministic=not train)(x)
+        return FastDropout(self.dropout, deterministic=not train)(x)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -189,7 +191,7 @@ class _ConvModule(nn.Module):
             x = nn.LayerNorm(dtype=jnp.float32, name="cn")(x)
         x = nn.silu(x)
         x = nn.Dense(self.d_model, dtype=self.dtype, name="pw2")(x)
-        return nn.Dropout(self.dropout, deterministic=not train)(x)
+        return FastDropout(self.dropout, deterministic=not train)(x)
 
 
 class _SelfAttention(nn.Module):
@@ -212,7 +214,7 @@ class _SelfAttention(nn.Module):
             dtype=self.dtype,
             name="mha",
         )(x, x, mask=attn_mask)
-        return nn.Dropout(self.dropout, deterministic=not train)(x)
+        return FastDropout(self.dropout, deterministic=not train)(x)
 
 
 class ConformerBlock(nn.Module):

@@ -10,6 +10,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ssd_tpu.ops.dropout import FastDropout
+
 
 class ProjectionHead(nn.Module):
     output_dim: int
@@ -18,7 +20,7 @@ class ProjectionHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         out = nn.Dense(self.output_dim, dtype=self.dtype, name="proj")(x)
         return out.astype(jnp.float32)  # distillation MSE always in fp32
 
@@ -31,6 +33,6 @@ class CTCHead(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """(B, T, D) → (B, T, V) log-probs (fp32 — CTC numerics)."""
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout, deterministic=not train)(x)
         logits = nn.Dense(self.vocab_size, dtype=self.dtype, name="fc")(x)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

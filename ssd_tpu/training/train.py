@@ -454,7 +454,7 @@ def train_from_config(
         lambda_ctc=float(cfg["loss"]["lambda_ctc"]),
     )
     normalize_distill = bool(cfg["loss"].get("distill_normalize", False))
-    distill_warmup_epochs = int(cfg["loss"].get("distill_warmup_epochs", 0))
+    distill_warmup_epochs = int(cfg["loss"].get("distill_warmup_epochs") or 0)
     blank_id = vocab.blank_id
 
     augment = None
