@@ -1,0 +1,100 @@
+"""Worker for the REAL 2-process multi-host test (spawned by
+tests/test_multihost_2proc.py): joins a jax.distributed CPU cluster (gloo
+collectives, 4 virtual devices per process → 8 global), builds this
+process's shard loader, and runs real train/eval epochs through the
+production helpers (pad → make_array_from_process_local_data → jitted step
+with cross-process psum)."""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+
+def main() -> None:
+    proc_id = int(sys.argv[1])
+    port = sys.argv[2]
+    workdir = Path(sys.argv[3])
+
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2, process_id=proc_id
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import numpy as np
+
+    from ssd_tpu.data.dataset import make_dataloader
+    from ssd_tpu.data.vocab import Vocab
+    from ssd_tpu.models.conformer import EncoderConfig
+    from ssd_tpu.models.ssd_model import SSDModel
+    from ssd_tpu.parallel.mesh import make_mesh
+    from ssd_tpu.training.schedules import build_optimizer
+    from ssd_tpu.training.train import (
+        init_state,
+        make_eval_step,
+        make_train_step,
+        run_eval_epoch,
+        run_train_epoch,
+    )
+
+    vocab = Vocab.from_json(workdir / "vocab.json")
+    loader = make_dataloader(
+        index_path=workdir / "index.parquet",
+        features_root=workdir / "features",
+        splits=["voiced_parallel_data"],
+        subsets=["train"],
+        vocab=vocab,
+        batch_size=4,
+        shuffle=True,
+        seed=11,
+        include_teacher=False,
+        strict=False,
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
+    )
+
+    enc = EncoderConfig(
+        input_dim=16, d_model=16, num_layers=1, num_heads=2, ffn_dim=32,
+        depthwise_conv_kernel_size=7, dropout=0.0, subsample_factor=2,
+    )
+    model = SSDModel(encoder_cfg=enc, projection_dim=8, vocab_size=vocab.size)
+    cfg = {"optim": {"lr": 1e-3, "weight_decay": 0.0, "clip_grad_norm": 1.0,
+                     "grad_accum": 1}}
+    tx, schedule = build_optimizer(cfg, 20)
+    state = init_state(model, tx, 16, jax.random.PRNGKey(0))
+    train_step = make_train_step(model, tx, blank_id=vocab.blank_id,
+                                 normalize_distill=False)
+    eval_step = make_eval_step(model, vocab.blank_id, normalize_distill=False)
+
+    mesh = make_mesh()  # 2×4 = 8 devices, data=8
+    lambdas = np.asarray([1.0, 0.0], np.float32)
+    rng = jax.random.PRNGKey(1)
+
+    results = {"proc": proc_id, "epochs": []}
+    with mesh:
+        for _ in range(2):
+            state, train_losses = run_train_epoch(
+                train_step, state, loader, mesh, lambdas, rng,
+                include_teacher=False, writer=None, log_interval=100,
+                schedule=schedule, grad_accum=1,
+            )
+            val = run_eval_epoch(eval_step, state, loader, mesh, lambdas, False)
+            results["epochs"].append(
+                {"train_total": train_losses["total"],
+                 "batches": train_losses["batches"],
+                 "val_total": val["total"]}
+            )
+
+    (workdir / f"result_{proc_id}.json").write_text(json.dumps(results))
+    print(f"[{proc_id}] OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
