@@ -79,6 +79,9 @@ class InferenceEngine:
         beam_width: int = 50,
         blank_bias: float = 0.0,
         token_top_k: Optional[int] = None,
+        lm_path: Optional[Path] = None,
+        alpha: float = 0.5,
+        beta: float = 0.0,
         featurizer_cfg: Optional[FeaturizerConfig] = None,
     ) -> None:
         self.cfg = cfg
@@ -92,6 +95,18 @@ class InferenceEngine:
         if token_top_k is None:
             token_top_k = (cfg.get("decoding", {}) or {}).get("token_top_k", 16)
         self.token_top_k = min(int(token_top_k), vocab.size) if token_top_k else None
+        # on-device LM fusion: constructor arg > config decoding block
+        decoding_cfg = cfg.get("decoding", {}) or {}
+        lm_path = lm_path or decoding_cfg.get("lm_path")
+        self.alpha = float(alpha if alpha is not None else decoding_cfg.get("alpha", 0.5))
+        self.beta = float(beta if beta is not None else decoding_cfg.get("beta", 0.0))
+        self.lm_table = None
+        if lm_path and Path(lm_path).exists() and decoder == "beam":
+            from ssd_tpu.decoding.device_lm import pack_lm
+            from ssd_tpu.decoding.lm import NGramLM
+
+            self.lm_table = pack_lm(NGramLM.from_arpa(Path(lm_path)), vocab)
+            logger.info("Serving with on-device LM fusion: %s", lm_path)
         feat_cfg = cfg.get("features", {}).get("emg", {})
         self.feat_cfg = featurizer_cfg or FeaturizerConfig(
             sample_rate=feat_cfg.get("sample_rate", 1000),
@@ -137,6 +152,19 @@ class InferenceEngine:
         return log_probs, out_lengths
 
     def _decode(self, log_probs, out_lengths) -> List[str]:
+        if self.decoder == "beam" and self.lm_table is not None:
+            from ssd_tpu.decoding.device_lm import beam_decode_lm_device
+
+            return beam_decode_lm_device(
+                log_probs,
+                out_lengths,
+                self.vocab,
+                self.lm_table,
+                beam_width=self.beam_width,
+                alpha=self.alpha,
+                beta=self.beta,
+                blank_bias=self.blank_bias,
+            )
         if self.decoder == "beam":
             chars, parents, _ = beam_search(
                 log_probs,

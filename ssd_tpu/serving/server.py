@@ -169,9 +169,13 @@ def serve(
     max_batch: int = 8,
     max_wait_ms: float = 10.0,
     warmup: bool = True,
+    lm_path: Path | None = None,
+    alpha: float = 0.5,
+    beta: float = 0.0,
 ) -> ThreadingHTTPServer:
     engine = InferenceEngine.from_checkpoint(
-        checkpoint, decoder=decoder, beam_width=beam_width
+        checkpoint, decoder=decoder, beam_width=beam_width,
+        lm_path=lm_path, alpha=alpha, beta=beta,
     )
     if warmup:
         logger.info("Warming compile cache…")
@@ -194,6 +198,9 @@ def main() -> None:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--lm-path", type=Path, help="ARPA LM for on-device fusion (beam only)")
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--beta", type=float, default=0.0)
     args = p.parse_args()
     server = serve(
         args.checkpoint,
@@ -203,6 +210,9 @@ def main() -> None:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         warmup=not args.no_warmup,
+        lm_path=args.lm_path,
+        alpha=args.alpha,
+        beta=args.beta,
     )
     server.serve_forever()
 

@@ -344,8 +344,15 @@ def train_from_config(
     dry_run: bool = False,
     overfit_batches: int = 0,
     writer=None,
+    resume: bool = False,
 ) -> Dict[str, Any]:
-    """Programmatic entry; returns summary (best epoch/val)."""
+    """Programmatic entry; returns summary (best epoch/val).
+
+    ``resume=True`` continues a run mid-training from ``<run_dir>/last``
+    (params + optimizer state + epoch counter) — an opt-in extension beyond
+    the reference, which always restarts at epoch 1 (docs/PARITY.md);
+    best-checkpoint tracking restarts from the resume point.
+    """
     rng = set_seed(cfg["logging"].get("seed", 42))
     vocab = Vocab.from_json(Path(cfg["data"]["vocab"]))
     spec_cfg, chan_cfg = _augment_cfgs(cfg)
@@ -413,6 +420,11 @@ def train_from_config(
     first = train_loader.dataset.get(0)
     input_dim = first["emg"].shape[1]
 
+    # stamp the inferred input dim into the config that gets embedded next to
+    # checkpoints: eval re-infers it like the reference, but serving needs a
+    # self-describing checkpoint (engine featurizes raw EMG, no cache to probe)
+    cfg.setdefault("model", {}).setdefault("encoder", {})["input_dim"] = int(input_dim)
+
     grad_accum = int(cfg["optim"].get("grad_accum", 1))
     max_epochs = 1 if dry_run else int(cfg["optim"].get("max_epochs", 1))
     updates_per_epoch = max(1, math.ceil(len(train_loader) / grad_accum))
@@ -444,6 +456,31 @@ def train_from_config(
             batch_stats=load_params_partial(state.batch_stats, payload["batch_stats"]),
         )
 
+    start_epoch = 1
+    if resume and (run_dir / "last").exists():
+        # topology-checked restore: the abstract target mirrors the save
+        # payload (train state + epoch/step counters)
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "epoch": np.asarray(0),
+                "step": np.asarray(state.step),
+            },
+        )
+        restored = load_checkpoint(run_dir / "last", target=abstract)
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]),
+        )
+        start_epoch = int(restored["epoch"]) + 1
+        train_loader.epoch = start_epoch - 1  # keep per-epoch shuffles distinct
+        logger.info("Resuming %s at epoch %d", run_dir, start_epoch)
+
     # place the whole TrainState per the partition rules: tensor-parallel
     # shards over `model` (ffn + attention heads, optimizer moments included),
     # everything else replicated — same rules the driver dryrun exercises
@@ -473,8 +510,9 @@ def train_from_config(
     best_epoch = 0
     patience_counter = 0
 
+    epoch = start_epoch - 1
     with mesh:
-        for epoch in range(1, max_epochs + 1):
+        for epoch in range(start_epoch, max_epochs + 1):
             warmup_scale = 1.0
             if distill_warmup_epochs > 0:
                 warmup_scale = min(1.0, epoch / float(distill_warmup_epochs))
@@ -565,6 +603,13 @@ def _parse_args() -> argparse.Namespace:
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--overfit-batches", type=int, default=0)
     p.add_argument(
+        "--resume",
+        action="store_true",
+        help="Continue mid-run from <run-dir>/last (params + optimizer state "
+        "+ epoch); an opt-in extension beyond the reference's restart-only "
+        "warm starts.",
+    )
+    p.add_argument(
         "--profile-dir",
         type=Path,
         help="Capture a jax.profiler trace of the first epoch into this dir.",
@@ -598,6 +643,7 @@ def main() -> None:
             init_checkpoint=args.init_checkpoint,
             dry_run=args.dry_run,
             overfit_batches=args.overfit_batches,
+            resume=args.resume,
             writer=writer,
         )
     finally:

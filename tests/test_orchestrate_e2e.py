@@ -102,7 +102,6 @@ def _write_configs(wd: Path) -> None:
     # slim decoder grids; one use_lm entry exercises the LM-missing skip path
     (wd / "configs/experiments/decoder_grids.yaml").write_text(yaml.safe_dump({
         "probe_voiced": [
-            {"name": "greedy", "method": "greedy"},
             {"name": "beam8", "method": "beam", "beam_width": 8, "alpha": 0.45},
         ],
         "probe_silent": [{"name": "greedy", "method": "greedy"}],
@@ -122,7 +121,7 @@ def _run_orchestrate(wd: Path, *extra: str) -> subprocess.CompletedProcess:
         [sys.executable, "-m", "ssd_tpu.experiments.orchestrate",
          "--probe-batches", "1", "--probe-batches-silent", "1",
          "--eval-batch-size", "4", *extra],
-        cwd=wd, env=env, capture_output=True, text=True, timeout=1500,
+        cwd=wd, env=env, capture_output=True, text=True, timeout=2700,
     )
 
 

@@ -61,6 +61,21 @@ def test_engine_transcribes(ckpt):
     assert len(hyps2) == 1
 
 
+def test_engine_beam_with_device_lm(ckpt, tmp_path):
+    """Serving with on-device LM fusion: ARPA from the decoding config."""
+    from ssd_tpu.decoding.lm import train_ngram
+
+    lm = train_ngram(["hello world", "hello there", "a b c"], order=3)
+    arpa = tmp_path / "lm.arpa"
+    lm.to_arpa(arpa)
+
+    engine = _engine(ckpt, decoder="beam", beam_width=4, lm_path=arpa, alpha=0.4)
+    assert engine.lm_table is not None
+    rng = np.random.default_rng(2)
+    hyps = engine.transcribe([rng.normal(size=(500, 2)).astype(np.float32)])
+    assert len(hyps) == 1 and isinstance(hyps[0], str)
+
+
 def test_http_server_roundtrip(ckpt):
     from ssd_tpu.serving.server import encode_npy, serve
 

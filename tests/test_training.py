@@ -43,6 +43,27 @@ def test_warm_start_and_dry_run(tiny_setup):
     assert np.isfinite(summary["best_val"])
 
 
+def test_mid_run_resume_continues_epochs(tiny_setup):
+    """Opt-in --resume: a 1-epoch run resumed with max_epochs=3 continues at
+    epoch 2 with restored optimizer state (total epochs span 1..3)."""
+    cfg, tmp_path = tiny_setup
+    run_dir = tmp_path / "run_resume"
+    cfg = json.loads(json.dumps(cfg))
+    cfg["optim"]["max_epochs"] = 1
+    train_from_config(cfg, run_dir)
+    assert (run_dir / "last").exists()
+
+    cfg["optim"]["max_epochs"] = 3
+    summary = train_from_config(cfg, run_dir, resume=True)
+    assert summary["epochs"] == 3  # final epoch index — resumed, not restarted
+    assert np.isfinite(summary["best_val"])
+
+    # resuming a finished run is a no-op (no epochs to run)
+    summary2 = train_from_config(cfg, run_dir, resume=True)
+    assert summary2["epochs"] == 3
+    assert summary2["best_epoch"] == 0  # no new epochs ran
+
+
 def test_overfit_batches_limits_data(tiny_setup):
     cfg, tmp_path = tiny_setup
     summary = train_from_config(
