@@ -1,9 +1,14 @@
 """Compare attention implementations at production shapes on TPU.
 
 Variants (6-layer attn-only stacks, B=32 T=384 D=288 H=6 d=48, bf16):
-  flax   — nn.MultiHeadDotProductAttention (current)
+  flax / flax_drop   — nn.MultiHeadDotProductAttention (current), ±dropout
+  fused / fused_drop — one fused (D → 3·H·hd) qkv projection, ±broadcast drop
+  fused_fastdrop     — fused qkv + rng_dropout on the FULL (B,H,T,T) weights
   jnn    — DenseGeneral qkv + jax.nn.dot_product_attention + out proj
   flash  — DenseGeneral qkv + pallas TPU flash_attention + out proj
+
+All fused variants were measured and REJECTED for the production model — see
+docs/PERF.md "What was measured and rejected".
 """
 
 from __future__ import annotations
@@ -38,11 +43,38 @@ class AttnVariant(nn.Module):
     @nn.compact
     def __call__(self, x, pad_mask, lengths):
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
-        if self.impl == "flax":
+        if self.impl in ("flax", "flax_drop"):
+            drop = self.impl == "flax_drop"
             return nn.MultiHeadDotProductAttention(
                 num_heads=H, qkv_features=D, out_features=D,
-                dropout_rate=0.0, deterministic=True, dtype=self.dtype, name="mha",
+                dropout_rate=0.12 if drop else 0.0, deterministic=not drop,
+                dtype=self.dtype, name="mha",
             )(x, x, mask=pad_mask[:, None, None, :])
+        if self.impl in ("fused", "fused_drop", "fused_fastdrop"):
+            # fused-QKV variant — MEASURED AND REJECTED for the production
+            # model (docs/PERF.md): wins the isolated stack (3.55 vs 4.10 ms
+            # fwd+bwd w/ broadcast dropout) but the full train step regresses
+            # 14.5 → 14.8 ms/step. fused_fastdrop additionally shows that
+            # rng_dropout on the full (B,H,T,T) weights costs ~3 ms/stack —
+            # regenerating 2²⁷ bits in backward loses to flax's broadcast
+            # (1,1,T,T) mask.
+            import math
+
+            from ssd_tpu.ops.dropout import rng_dropout
+
+            qkv = nn.DenseGeneral((3, H, HD), dtype=self.dtype, name="qkv")(x)
+            q = qkv[:, :, 0] * jnp.asarray(1.0 / math.sqrt(HD), qkv.dtype)
+            k, v = qkv[:, :, 1], qkv[:, :, 2]
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+            big_neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
+            scores = jnp.where(pad_mask[:, None, None, :], scores, big_neg)
+            w = jax.nn.softmax(scores, axis=-1)
+            if self.impl == "fused_drop":
+                w = nn.Dropout(rate=0.12, broadcast_dims=(0, 1), deterministic=False)(w)
+            elif self.impl == "fused_fastdrop":
+                w = rng_dropout(w, self.make_rng("dropout"), 0.12)
+            o = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+            return nn.DenseGeneral(D, axis=(-2, -1), dtype=self.dtype, name="out")(o)
         q = nn.DenseGeneral((H, HD), dtype=self.dtype, name="query")(x)
         k = nn.DenseGeneral((H, HD), dtype=self.dtype, name="key")(x)
         v = nn.DenseGeneral((H, HD), dtype=self.dtype, name="value")(x)
@@ -92,16 +124,25 @@ def bench(impl):
     x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32)).astype(jnp.bfloat16)
     lengths = jnp.asarray(rng.integers(T // 2, T + 1, size=B).astype(np.int32))
     pad_mask = jnp.arange(T)[None, :] < lengths[:, None]
+    rngs = (
+        {"dropout": jax.random.key(7, impl="rbg")}
+        if impl.endswith(("_drop", "_fastdrop"))
+        else None
+    )
     params = model.init(jax.random.PRNGKey(0), x, pad_mask, lengths)["params"]
 
     @jax.jit
     def fwd(p, x):
-        return jnp.sum(model.apply({"params": p}, x, pad_mask, lengths).astype(jnp.float32))
+        return jnp.sum(
+            model.apply({"params": p}, x, pad_mask, lengths, rngs=rngs).astype(jnp.float32)
+        )
 
     @jax.jit
     def fwdbwd(p, x):
         v, g = jax.value_and_grad(
-            lambda pp: jnp.sum(model.apply({"params": pp}, x, pad_mask, lengths).astype(jnp.float32))
+            lambda pp: jnp.sum(
+                model.apply({"params": pp}, x, pad_mask, lengths, rngs=rngs).astype(jnp.float32)
+            )
         )(p)
         return v + sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree_util.tree_leaves(g))
 

@@ -4,11 +4,22 @@
       [--port 8776] [--decoder beam] [--max-batch 8] [--max-wait-ms 10]
 
 Endpoints:
-  POST /transcribe   body: {"emg": <base64 of a float32 .npy (samples, C)>}
-                     or    {"emg_list": [<base64 npy>, …]}
-                     → {"hypotheses": ["text", …], "latency_ms": …}
-  GET  /healthz      → {"status": "ok"}
-  GET  /stats        → per-utterance latency percentiles
+  POST /transcribe     body: {"emg": <base64 of a float32 .npy (samples, C)>}
+                       or    {"emg_list": [<base64 npy>, …]}
+                       → {"hypotheses": ["text", …], "latency_ms": …}
+  POST /stream/start   [{"chunk_frames": …, "left_context_frames": …,
+                       "right_context_frames": …}] → {"session": "<id>"}
+  POST /stream/feed    {"session": …, "emg": <base64 npy>}
+                       → {"hypothesis": "text so far", "final": false}
+  POST /stream/finish  {"session": …, ["beam": true]}
+                       → {"hypothesis": …, "final": true}  (session closed)
+  GET  /healthz        → {"status": "ok"}
+  GET  /stats          → per-utterance latency percentiles
+
+Streaming sessions run the chunked bounded-recompute transcriber
+(ssd_tpu/serving/streaming.py): per-feed device work is one fixed-shape
+window regardless of stream length, and sessions with identical window
+geometry share a single compiled executable.
 
 Requests are micro-batched: a collector thread drains the queue up to
 ``max_batch`` items or ``max_wait_ms``, whichever first, and runs one device
@@ -114,7 +125,57 @@ class MicroBatcher:
                 r.event.set()
 
 
+class StreamSessions:
+    """Session registry for chunked streaming transcription."""
+
+    def __init__(self, engine: InferenceEngine, idle_ttl_sec: float = 600.0):
+        self.engine = engine
+        self.idle_ttl = idle_ttl_sec
+        self._sessions: dict = {}
+        self._lock = threading.Lock()
+        self._counter = 0
+
+    def start(self, **kwargs) -> str:
+        from ssd_tpu.serving.streaming import ChunkedStreamingTranscriber
+
+        st = ChunkedStreamingTranscriber(self.engine, **kwargs)
+        with self._lock:
+            self._counter += 1
+            sid = f"s{self._counter:08d}"
+            self._sessions[sid] = [st, threading.Lock(), time.monotonic()]
+            self._evict_idle()
+        return sid
+
+    def _evict_idle(self) -> None:
+        now = time.monotonic()
+        for sid in [s for s, v in self._sessions.items() if now - v[2] > self.idle_ttl]:
+            del self._sessions[sid]
+
+    def _get(self, sid: str):
+        with self._lock:
+            entry = self._sessions.get(sid)
+            if entry is None:
+                raise KeyError(f"unknown or expired session {sid!r}")
+            entry[2] = time.monotonic()
+            return entry
+
+    def feed(self, sid: str, emg: np.ndarray) -> str:
+        st, lock, _ = self._get(sid)
+        with lock:
+            st.feed(emg)
+            return st.hypothesis
+
+    def finish(self, sid: str, beam: bool = False) -> str:
+        st, lock, _ = self._get(sid)
+        with lock:
+            hyp = st.finish(beam=beam)
+        with self._lock:
+            self._sessions.pop(sid, None)
+        return hyp
+
+
 def make_handler(batcher: MicroBatcher, engine: InferenceEngine):
+    sessions = StreamSessions(engine)
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             logger.debug(fmt, *args)
@@ -136,25 +197,50 @@ def make_handler(batcher: MicroBatcher, engine: InferenceEngine):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/transcribe":
-                self._reply(404, {"error": "not found"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
-                payload = json.loads(self.rfile.read(length))
+                payload = json.loads(self.rfile.read(length)) if length else {}
                 t0 = time.perf_counter()
-                if "emg_list" in payload:
-                    arrays = [_decode_npy(b) for b in payload["emg_list"]]
-                    hyps = engine.transcribe(arrays)
+                if self.path == "/transcribe":
+                    if "emg_list" in payload:
+                        arrays = [_decode_npy(b) for b in payload["emg_list"]]
+                        hyps = engine.transcribe(arrays)
+                    else:
+                        hyps = [batcher.submit(_decode_npy(payload["emg"]))]
+                    self._reply(
+                        200,
+                        {
+                            "hypotheses": hyps,
+                            "latency_ms": (time.perf_counter() - t0) * 1e3,
+                        },
+                    )
+                elif self.path == "/stream/start":
+                    kwargs = {
+                        k: int(payload[k])
+                        for k in (
+                            "chunk_frames",
+                            "left_context_frames",
+                            "right_context_frames",
+                        )
+                        if k in payload
+                    }
+                    if "blank_bias" in payload:
+                        kwargs["blank_bias"] = float(payload["blank_bias"])
+                    self._reply(200, {"session": sessions.start(**kwargs)})
+                elif self.path == "/stream/feed":
+                    hyp = sessions.feed(
+                        payload["session"], _decode_npy(payload["emg"])
+                    )
+                    self._reply(200, {"hypothesis": hyp, "final": False})
+                elif self.path == "/stream/finish":
+                    hyp = sessions.finish(
+                        payload["session"], beam=bool(payload.get("beam", False))
+                    )
+                    self._reply(200, {"hypothesis": hyp, "final": True})
                 else:
-                    hyps = [batcher.submit(_decode_npy(payload["emg"]))]
-                self._reply(
-                    200,
-                    {
-                        "hypotheses": hyps,
-                        "latency_ms": (time.perf_counter() - t0) * 1e3,
-                    },
-                )
+                    self._reply(404, {"error": "not found"})
+            except KeyError as exc:
+                self._reply(404, {"error": str(exc)})
             except Exception as exc:
                 self._reply(400, {"error": str(exc)})
 

@@ -78,8 +78,16 @@ def test_overfit_synthetic_ctc():
     with mesh:
         dev_batch = shard_batch(mesh, batch)
         losses = None
-        for _ in range(250):
+        for i in range(250):
             state, losses = train_step(state, dev_batch, lam, key)
+            # Bound the async dispatch queue: each step runs an 8-way
+            # all-reduce on the virtual CPU mesh, and XLA:CPU's collective
+            # rendezvous hard-aborts (CHECK-fail, 40 s) if one participant
+            # thread is starved — which hundreds of un-awaited queued steps
+            # on a small host reliably provoke. A periodic fence keeps the
+            # queue shallow; production TPU dispatch is untouched.
+            if (i + 1) % 16 == 0:
+                jax.block_until_ready(losses)
         final_loss = float(losses["total"])
 
         lp, out_len, _ = model.apply(

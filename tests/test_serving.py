@@ -3,6 +3,7 @@ round-trip with micro-batching."""
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -104,5 +105,33 @@ def test_http_server_roundtrip(ckpt):
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
             stats = json.load(r)["latency"]
         assert stats.get("count", 0) >= 1
+
+        # ------------------------------------------------ streaming session
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.load(r)
+
+        sid = post(
+            "/stream/start",
+            {"chunk_frames": 8, "left_context_frames": 16, "right_context_frames": 8},
+        )["session"]
+        for _ in range(4):
+            piece = rng.normal(size=(200, 2)).astype(np.float32)
+            out = post("/stream/feed", {"session": sid, "emg": encode_npy(piece)})
+            assert out["final"] is False and isinstance(out["hypothesis"], str)
+        out = post("/stream/finish", {"session": sid})
+        assert out["final"] is True and isinstance(out["hypothesis"], str)
+
+        # session is closed after finish
+        try:
+            post("/stream/feed", {"session": sid, "emg": encode_npy(piece)})
+            assert False, "expected 404 for a finished session"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
     finally:
         server.shutdown()

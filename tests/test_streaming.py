@@ -49,3 +49,88 @@ def test_streaming_updates(engine):
     # too-short stream yields empty hypothesis without erroring
     st.feed(rng.normal(size=(10, 2)).astype(np.float32))
     assert st.finish() == ""
+
+
+# ---------------------------------------------------------------------------
+# Chunked streaming (bounded recompute)
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_ids_carries_across_chunks():
+    from ssd_tpu.serving.streaming import collapse_ids
+
+    blank, pad = 1, 0
+    # first chunk ends on token 5; second begins with 5 → one emission
+    out1, carry = collapse_ids([5, 5, blank, 3], blank, blank, pad)
+    assert out1 == [5, 3]
+    out2, carry = collapse_ids([3, 3, 7], carry, blank, pad)
+    assert out2 == [7]  # leading 3 merges with the carried 3
+    # blank between repeats separates them
+    out3, carry = collapse_ids([blank, 7, pad, 7], carry, blank, pad)
+    assert out3 == [7, 7]
+
+
+def test_chunked_single_window_matches_offline_exactly(engine):
+    """A stream short enough for one window decodes identically to offline:
+    the window sees the whole signal, the running z-norm equals the per-file
+    z-norm and the dynamic-range clip covers the same frames."""
+    from ssd_tpu.serving.streaming import ChunkedStreamingTranscriber
+
+    rng = np.random.default_rng(3)
+    emg = rng.normal(size=(300, 2)).astype(np.float32)
+
+    st = ChunkedStreamingTranscriber(
+        engine, chunk_frames=16, left_context_frames=32, right_context_frames=16
+    )
+    # F = 1 + (300 − 64)//16 = 15 < S + R → nothing emits during feed
+    for i in range(0, 300, 100):
+        assert st.feed(emg[i : i + 100]) is None
+    chunked = st.finish()
+
+    offline = engine.transcribe([emg])[0]
+    assert chunked == offline
+
+
+def test_chunked_bounded_emits_monotone(engine):
+    from ssd_tpu.models.conformer import EncoderConfig, subsampled_lengths
+    from ssd_tpu.serving.streaming import ChunkedStreamingTranscriber
+
+    rng = np.random.default_rng(4)
+    st = ChunkedStreamingTranscriber(
+        engine, chunk_frames=8, left_context_frames=16, right_context_frames=8
+    )
+    updates = 0
+    total = 0
+    for _ in range(12):
+        piece = rng.normal(size=(120, 2)).astype(np.float32)
+        total += len(piece)
+        if st.feed(piece) is not None:
+            updates += 1
+            assert isinstance(st.hypothesis, str)
+    assert updates >= 2  # emissions happened DURING the stream
+    final = st.finish()
+    assert isinstance(final, str)
+
+    # bookkeeping: every frame emitted exactly once, and the emitted
+    # subsampled frame count equals the offline encoder's output length
+    F = 1 + (total - 64) // 16
+    assert st._emitted == F
+    enc = EncoderConfig(input_dim=16, subsample_factor=2)
+    expected_out = int(subsampled_lengths(np.asarray([F]), enc)[0])
+    assert sum(len(l) for l in st._log_probs) == expected_out
+
+    st.reset()
+    assert st.hypothesis == "" and st._emitted == 0
+
+
+def test_chunked_finish_beam(engine):
+    from ssd_tpu.serving.streaming import ChunkedStreamingTranscriber
+
+    rng = np.random.default_rng(5)
+    st = ChunkedStreamingTranscriber(
+        engine, chunk_frames=8, left_context_frames=16, right_context_frames=8
+    )
+    for _ in range(6):
+        st.feed(rng.normal(size=(120, 2)).astype(np.float32))
+    out = st.finish(beam=True)
+    assert isinstance(out, str)
