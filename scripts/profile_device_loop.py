@@ -26,11 +26,12 @@ from ssd_tpu.training.train import TrainState, init_state
 B, T, F, V, S, TD = 32, 768, 640, 48, 128, 768
 
 
-def build(batch_size=B, dropout=0.12, conv_norm="batch"):
+def build(batch_size=B, dropout=0.12, conv_norm="batch", remat=False, attn="flax"):
     enc_cfg = EncoderConfig(
         input_dim=F, d_model=288, num_layers=6, num_heads=6, ffn_dim=1152,
         depthwise_conv_kernel_size=15, dropout=dropout, subsample_factor=2,
-        compute_dtype="bfloat16", conv_norm=conv_norm,
+        compute_dtype="bfloat16", conv_norm=conv_norm, remat=remat,
+        attention_impl=attn,
     )
     model = SSDModel(encoder_cfg=enc_cfg, projection_dim=TD, vocab_size=V,
                      ctc_dropout=dropout)
@@ -122,6 +123,16 @@ if __name__ == "__main__":
             time_variant("full step (B=32)")
         elif v == "b64":
             time_variant("full step (B=64)", batch_size=64)
+        elif v == "fusedattn":
+            time_variant("fused attention (B=32)", attn="fused")
+        elif v == "fusedattn_nodrop":
+            time_variant("fused attn, no dropout", attn="fused", dropout=0.0)
+        elif v == "remat":
+            time_variant("remat blocks (B=32)", remat=True)
+        elif v == "remat64":
+            time_variant("remat blocks (B=64)", batch_size=64, remat=True)
+        elif v == "remat128":
+            time_variant("remat blocks (B=128)", batch_size=128, remat=True)
         elif v == "b128":
             time_variant("full step (B=128)", batch_size=128)
         elif v == "nodrop":

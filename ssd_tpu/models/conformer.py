@@ -47,6 +47,9 @@ class EncoderConfig:
     conv_norm: str = "batch"  # batch (torchaudio parity) | layer
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay fp32)
     remat: bool = False  # rematerialize blocks in backward (memory ↔ FLOPs)
+    # flax: XLA dot_product_attention. fused: whole-head-in-VMEM Pallas
+    # kernel (ops/attention.py) — same params/checkpoints, fp32 softmax.
+    attention_impl: str = "flax"  # flax | fused
 
     @property
     def dtype(self):
@@ -199,12 +202,18 @@ class _SelfAttention(nn.Module):
     num_heads: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    impl: str = "flax"  # flax | fused (ops/attention.py, same param tree)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
         # key-padding mask: every query may attend to all *valid* keys
         attn_mask = pad_mask[:, None, None, :]  # (B, 1, 1, T)
+        attention_fn = nn.dot_product_attention
+        if self.impl == "fused":
+            from ssd_tpu.ops.attention import fused_attention_fn
+
+            attention_fn = fused_attention_fn
         x = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.d_model,
@@ -212,6 +221,7 @@ class _SelfAttention(nn.Module):
             dropout_rate=self.dropout,
             deterministic=not train,
             dtype=self.dtype,
+            attention_fn=attention_fn,
             name="mha",
         )(x, x, mask=attn_mask)
         return FastDropout(self.dropout, deterministic=not train)(x)
@@ -224,9 +234,9 @@ class ConformerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         c = self.cfg
         x = x + 0.5 * _FeedForward(c.d_model, c.ffn_dim, c.dropout, c.dtype, name="ffn1")(x, train)
-        x = x + _SelfAttention(c.d_model, c.num_heads, c.dropout, c.dtype, name="attn")(
-            x, pad_mask, train
-        )
+        x = x + _SelfAttention(
+            c.d_model, c.num_heads, c.dropout, c.dtype, c.attention_impl, name="attn"
+        )(x, pad_mask, train)
         x = x + _ConvModule(
             c.d_model, c.depthwise_conv_kernel_size, c.dropout, c.conv_norm, c.dtype,
             name="conv",

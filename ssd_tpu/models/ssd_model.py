@@ -60,6 +60,7 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         conv_norm=enc.get("conv_norm", "batch"),
         compute_dtype=enc.get("compute_dtype", "float32"),
         remat=enc.get("remat", False),
+        attention_impl=enc.get("attention_impl", "flax"),
     )
     return SSDModel(
         encoder_cfg=encoder_cfg,
