@@ -26,12 +26,13 @@ from ssd_tpu.training.train import TrainState, init_state
 B, T, F, V, S, TD = 32, 768, 640, 48, 128, 768
 
 
-def build(batch_size=B, dropout=0.12, conv_norm="batch", remat=False, attn="flax"):
+def build(batch_size=B, dropout=0.12, conv_norm="batch", remat=False, attn="flax",
+          dw="lax"):
     enc_cfg = EncoderConfig(
         input_dim=F, d_model=288, num_layers=6, num_heads=6, ffn_dim=1152,
         depthwise_conv_kernel_size=15, dropout=dropout, subsample_factor=2,
         compute_dtype="bfloat16", conv_norm=conv_norm, remat=remat,
-        attention_impl=attn,
+        attention_impl=attn, depthwise_impl=dw,
     )
     model = SSDModel(encoder_cfg=enc_cfg, projection_dim=TD, vocab_size=V,
                      ctc_dropout=dropout)
@@ -123,6 +124,8 @@ if __name__ == "__main__":
             time_variant("full step (B=32)")
         elif v == "b64":
             time_variant("full step (B=64)", batch_size=64)
+        elif v == "dwpallas":
+            time_variant("pallas depthwise (B=32)", dw="pallas")
         elif v == "fusedattn":
             time_variant("fused attention (B=32)", attn="fused")
         elif v == "fusedattn_nodrop":

@@ -50,6 +50,9 @@ class EncoderConfig:
     # flax: XLA dot_product_attention. fused: whole-head-in-VMEM Pallas
     # kernel (ops/attention.py) — same params/checkpoints, fp32 softmax.
     attention_impl: str = "flax"  # flax | fused
+    # lax: nn.Conv grouped conv. pallas: VMEM stencil (ops/depthwise_conv.py)
+    # — same params/checkpoints.
+    depthwise_impl: str = "lax"  # lax | pallas
 
     @property
     def dtype(self):
@@ -169,6 +172,7 @@ class _ConvModule(nn.Module):
     conv_norm: str
 
     dtype: jnp.dtype = jnp.float32
+    depthwise_impl: str = "lax"  # lax | pallas (same param tree)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -180,14 +184,24 @@ class _ConvModule(nn.Module):
         # shorter bucket would — exact padding invariance
         x = jnp.where(pad_mask[:, :, None], x, jnp.zeros((), x.dtype))
         pad = (self.kernel_size - 1) // 2
-        x = nn.Conv(
-            features=self.d_model,
-            kernel_size=(self.kernel_size,),
-            padding=[(pad, pad)],
-            feature_group_count=self.d_model,
-            dtype=self.dtype,
-            name="dw",
-        )(x)
+        if self.depthwise_impl == "pallas":
+            from ssd_tpu.ops.depthwise_conv import DepthwiseConv1d
+
+            x = DepthwiseConv1d(
+                features=self.d_model,
+                kernel_size=self.kernel_size,
+                dtype=self.dtype,
+                name="dw",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.d_model,
+                kernel_size=(self.kernel_size,),
+                padding=[(pad, pad)],
+                feature_group_count=self.d_model,
+                dtype=self.dtype,
+                name="dw",
+            )(x)
         if self.conv_norm == "batch":
             x = MaskedBatchNorm(name="bn")(x, pad_mask, train)
         else:
@@ -239,7 +253,7 @@ class ConformerBlock(nn.Module):
         )(x, pad_mask, train)
         x = x + _ConvModule(
             c.d_model, c.depthwise_conv_kernel_size, c.dropout, c.conv_norm, c.dtype,
-            name="conv",
+            c.depthwise_impl, name="conv",
         )(x, pad_mask, train)
         x = x + 0.5 * _FeedForward(c.d_model, c.ffn_dim, c.dropout, c.dtype, name="ffn2")(x, train)
         return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
