@@ -24,6 +24,8 @@ import argparse
 import functools
 import logging
 import math
+import signal
+import threading
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
@@ -231,6 +233,47 @@ def make_eval_step(model, blank_id, normalize_distill):
 # --------------------------------------------------------------------------
 
 
+class PreemptionGuard:
+    """SIGTERM/SIGINT → checkpoint-and-stop instead of dying mid-step.
+
+    Production trainers get preempted (spot/maintenance events deliver
+    SIGTERM); the guard turns the signal into a flag that the epoch loop
+    polls at step granularity, so the run saves a resumable ``last``
+    checkpoint and exits 0. Installed only in the main thread (Python
+    restricts signal handlers to it); a second signal while stopping falls
+    through to the previous handler semantics on exit.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)) -> None:
+        self.requested = False
+        self._signals = signals
+        self._old: Dict[int, Any] = {}
+
+    def _handler(self, signum, frame) -> None:  # pragma: no cover - signal path
+        self.requested = True
+        logger.warning(
+            "Signal %d received: checkpointing and stopping at the next step",
+            signum,
+        )
+
+    def __enter__(self) -> "PreemptionGuard":
+        if threading.current_thread() is threading.main_thread():
+            for s in self._signals:
+                try:
+                    self._old[s] = signal.signal(s, self._handler)
+                except (ValueError, OSError):  # pragma: no cover - exotic envs
+                    pass
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        for s, h in self._old.items():
+            try:
+                signal.signal(s, h)
+            except (ValueError, OSError):  # pragma: no cover
+                pass
+        return False
+
+
 def run_train_epoch(
     train_step,
     state: TrainState,
@@ -243,6 +286,7 @@ def run_train_epoch(
     log_interval: int,
     schedule,
     grad_accum: int,
+    stop_flag: Optional[PreemptionGuard] = None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     # local row divisor: this process's slice of the data axis
     n_data = max(1, mesh.shape["data"] // jax.process_count())
@@ -253,6 +297,8 @@ def run_train_epoch(
     host_step = 0
     epoch_start = time.time()
     for batch in prefetch(loader):
+        if stop_flag is not None and stop_flag.requested:
+            break
         arrays = batch_to_arrays(batch, include_teacher)
         arrays, _ = pad_batch_to_multiple(arrays, n_data)
         arrays["weight"][batch.size :] = 0.0
@@ -511,7 +557,8 @@ def train_from_config(
     patience_counter = 0
 
     epoch = start_epoch - 1
-    with mesh:
+    preempted = False
+    with mesh, PreemptionGuard() as guard:
         for epoch in range(start_epoch, max_epochs + 1):
             warmup_scale = 1.0
             if distill_warmup_epochs > 0:
@@ -533,7 +580,33 @@ def train_from_config(
                 cfg["logging"].get("log_interval", 10),
                 schedule,
                 grad_accum,
+                stop_flag=guard,
             )
+            if guard.requested:
+                # Preemption: save a resumable `last` labeled with the LAST
+                # COMPLETED epoch — `--resume` re-runs the interrupted epoch
+                # (its per-epoch shuffle is deterministic). Partial-epoch
+                # optimizer updates are kept; state.step stays accurate, so
+                # the LR schedule is unaffected.
+                save_checkpoint(
+                    run_dir,
+                    {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                        "epoch": np.asarray(epoch - 1),
+                        "step": np.asarray(state.step),
+                    },
+                    cfg,
+                    is_best=False,
+                )
+                logger.warning(
+                    "Preempted during epoch %d: saved resumable 'last' "
+                    "(resume with --resume; the epoch re-runs)",
+                    epoch,
+                )
+                preempted = True
+                break
             if flush_step is not None:
                 state = flush_partial_accumulation(state, flush_step, grad_accum)
             train_time = time.time() - start
@@ -592,7 +665,12 @@ def train_from_config(
                 )
                 break
 
-    return {"best_epoch": best_epoch, "best_val": best_val, "epochs": epoch}
+    return {
+        "best_epoch": best_epoch,
+        "best_val": best_val,
+        "epochs": epoch,
+        "preempted": preempted,
+    }
 
 
 def _parse_args() -> argparse.Namespace:

@@ -70,3 +70,42 @@ def test_overfit_batches_limits_data(tiny_setup):
         cfg, tmp_path / "run3", dry_run=True, overfit_batches=1
     )
     assert np.isfinite(summary["best_val"])
+
+
+def test_preemption_saves_resumable_checkpoint(tiny_setup, monkeypatch):
+    """SIGTERM mid-epoch → flag set → epoch loop saves a resumable `last`
+    labeled with the last COMPLETED epoch and returns preempted=True; a
+    --resume run then re-runs the interrupted epoch and finishes."""
+    import os
+    import signal as _signal
+
+    import ssd_tpu.training.train as trainmod
+
+    cfg, tmp_path = tiny_setup
+    cfg = json.loads(json.dumps(cfg))
+    cfg["optim"]["max_epochs"] = 3
+    run_dir = tmp_path / "run_preempt"
+
+    real = trainmod.batch_to_arrays
+    calls = {"n": 0}
+
+    def sabotaged(batch, include_teacher):
+        calls["n"] += 1
+        if calls["n"] == 2:  # deliver SIGTERM during epoch 1's batch loop
+            os.kill(os.getpid(), _signal.SIGTERM)
+        return real(batch, include_teacher)
+
+    monkeypatch.setattr(trainmod, "batch_to_arrays", sabotaged)
+    summary = train_from_config(cfg, run_dir)
+    assert summary["preempted"] is True
+    assert summary["epochs"] < 3  # stopped early
+    assert (run_dir / "last").exists()
+
+    # signal handlers restored after train_from_config
+    assert _signal.getsignal(_signal.SIGTERM) is _signal.SIG_DFL
+
+    monkeypatch.setattr(trainmod, "batch_to_arrays", real)
+    resumed = train_from_config(cfg, run_dir, resume=True)
+    assert resumed["preempted"] is False
+    assert resumed["epochs"] == 3  # re-ran epoch 1 (label rolled back) → 3
+    assert (run_dir / "best").exists()
