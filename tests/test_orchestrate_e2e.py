@@ -115,8 +115,16 @@ def _write_configs(wd: Path) -> None:
 
 
 def _run_orchestrate(wd: Path, *extra: str) -> subprocess.CompletedProcess:
+    # Hermetic subprocess env: PYTHONPATH = repo ONLY. Inheriting the
+    # ambient PYTHONPATH leaks the TPU plugin's sitecustomize, which
+    # overrides JAX_PLATFORMS=cpu and routes every orchestrate child onto
+    # the single-holder remote TPU — slow, contended, and occasionally a
+    # hard hang (observed: eval stuck in the remote event loop with 0 CPU).
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # belt + suspenders: gates the plugin
     return subprocess.run(
         [sys.executable, "-m", "ssd_tpu.experiments.orchestrate",
          "--probe-batches", "1", "--probe-batches-silent", "1",
