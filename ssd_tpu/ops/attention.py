@@ -60,8 +60,9 @@ _MASKED = -1e30
 _VMEM_CELL_LIMIT_BYTES = 12 * 1024 * 1024
 
 
-def fits_in_vmem(t: int, hd: int, itemsize: int = 2) -> bool:
-    qkvo = 4 * t * max(hd, 128) * itemsize * 2  # lane padding + double buffer
+def fits_in_vmem(t: int, hd: int, itemsize: int = 2, heads: int = 1) -> bool:
+    """Would one grid cell (all ``heads`` of one batch element) fit VMEM?"""
+    qkvo = 4 * heads * t * max(hd, 128) * itemsize * 2  # lane pad + dbl buffer
     tt = 3 * t * t * 4
     return qkvo + tt < _VMEM_CELL_LIMIT_BYTES
 
@@ -251,6 +252,16 @@ def fused_attention_fn(
     B, T, H, hd = query.shape
     if key.shape != query.shape or value.shape != query.shape:
         raise NotImplementedError("fused attention: self-attention shapes only")
+    if not fits_in_vmem(T, hd, query.dtype.itemsize, heads=H):
+        # per-cell buffers would blow VMEM (very long sequences): use the
+        # XLA path, which tiles, rather than failing at Mosaic compile time
+        import flax.linen as nn
+
+        return nn.dot_product_attention(
+            query, key, value, mask=mask, broadcast_dropout=broadcast_dropout,
+            dropout_rng=dropout_rng, dropout_rate=dropout_rate,
+            deterministic=deterministic, dtype=dtype, precision=precision,
+        )
 
     qt = jnp.transpose(query, (0, 2, 1, 3))  # (B,H,T,hd) — contiguous per cell
     kt = jnp.transpose(key, (0, 2, 3, 1))  # (B,H,hd,T) — MXU-native for QKᵀ

@@ -136,3 +136,14 @@ def test_full_encoder_fused_vs_flax_bf16():
 def test_vmem_guard():
     assert fits_in_vmem(384, 48)
     assert not fits_in_vmem(4096, 128)
+
+
+def test_long_sequence_falls_back_to_flax():
+    """Sequences whose per-cell buffers exceed VMEM silently route to the
+    XLA path instead of failing at Mosaic compile time."""
+    t = 4096
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(1, t, 2, 128)).astype(np.float32))
+    out = fused_attention_fn(q, q, q, deterministic=True)
+    want = nn.dot_product_attention(q, q, q, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-5)
