@@ -1,0 +1,93 @@
+"""Host input-pipeline throughput at production shapes (no device).
+
+The training bench (`bench.py`) measures the device step with a resident
+batch; this script proves the HOST side — .npy reads, filtering, tokenize,
+SpecAugment, bucketing, collate, padding — sustains a rate comfortably above
+the device's ~2.3k utt/s/chip, i.e. the input pipeline is not the training
+bottleneck on a 1-host-per-chip topology.
+
+Builds a synthetic feature cache at flagship shapes (768 frames × 8 ch × 80
+mels float32 ≈ 1.9 MB/utt), then times `prefetch(loader)` + `batch_to_arrays`
++ `pad_batch_to_multiple` exactly as `run_train_epoch` consumes them.
+
+Usage: python scripts/profile_input.py [n_utts]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ssd_tpu.data.augment import SpecAugmentConfig
+from ssd_tpu.data.dataset import make_dataloader, prefetch
+from ssd_tpu.data.vocab import default_vocab
+from ssd_tpu.parallel.mesh import pad_batch_to_multiple
+from ssd_tpu.training.train import batch_to_arrays
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+B = 32
+
+
+def build_cache(root: Path, n: int) -> Path:
+    rng = np.random.default_rng(0)
+    rows = []
+    feats = root / "features"
+    for i in range(n):
+        uid = f"voiced_parallel_data/s1/{i}_0"
+        rows.append(dict(
+            utterance_id=uid, split="voiced_parallel_data", subset="train",
+            speaker="s1", stem=f"{i}_0", emg_path="x", audio_path=None,
+            transcript="the quick brown fox jumps over the lazy dog",
+            sentence_index=i, book="", has_audio=True, metadata_json="{}",
+        ))
+        d = feats / "emg" / "voiced_parallel_data" / "s1"
+        d.mkdir(parents=True, exist_ok=True)
+        t = int(rng.integers(500, 769))
+        np.save(d / f"{i}_0.npy", rng.normal(size=(t, 8, 80)).astype(np.float32))
+        td = feats / "teacher" / "voiced_parallel_data" / "s1"
+        td.mkdir(parents=True, exist_ok=True)
+        np.save(td / f"{i}_0.npy", rng.normal(size=(t // 2, 768)).astype(np.float32))
+    idx = root / "index.parquet"
+    pd.DataFrame(rows).to_parquet(idx)
+    return idx
+
+
+def main() -> None:
+    with tempfile.TemporaryDirectory() as tmp:
+        root = Path(tmp)
+        idx = build_cache(root, N)
+        loader = make_dataloader(
+            idx, root / "features", ["voiced_parallel_data"], ["train"],
+            default_vocab(), batch_size=B,
+            spec_augment_cfg=SpecAugmentConfig(),  # reference augment on
+        )
+        # warm one epoch (page cache + bucket shapes)
+        for batch in prefetch(loader):
+            batch_to_arrays(batch, include_teacher=True)
+        n_utts = 0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            loader.epoch += 1
+            for batch in prefetch(loader):
+                arrays = batch_to_arrays(batch, include_teacher=True)
+                arrays, _ = pad_batch_to_multiple(arrays, 8)
+                arrays["weight"][batch.size:] = 0.0
+                n_utts += batch.size
+        dt = time.perf_counter() - t0
+        mb = n_utts * 768 * 640 * 4 / 1e6
+        print(json.dumps({
+            "utterances": n_utts,
+            "seconds": round(dt, 2),
+            "host_input_utt_per_sec": round(n_utts / dt, 1),
+            "approx_feature_MB_per_sec": round(mb / dt, 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()

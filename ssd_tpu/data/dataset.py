@@ -99,6 +99,9 @@ class EMGFeatureDataset:
         df["transcript_norm"] = df["transcript"].apply(normalize_transcript)
         df = df[df["transcript_norm"].astype(bool)].reset_index(drop=True)
         self.df = df
+        # plain-dict row cache: pandas .iloc row materialization costs ~0.4 ms
+        # per access, ~11% of the input pipeline (scripts/profile_input.py)
+        self._rows = df.to_dict("records")
         self.features_root = Path(features_root)
         self.vocab = vocab
         self.include_teacher = include_teacher
@@ -122,7 +125,7 @@ class EMGFeatureDataset:
     def feature_length(self, idx: int) -> int:
         """Frame count of item ``idx`` (mmap header read only; cached)."""
         if idx not in self._lengths_cache:
-            path = self._emg_path(self.df.iloc[idx]["utterance_id"])
+            path = self._emg_path(self._rows[idx]["utterance_id"])
             if not path.exists():
                 raise FileNotFoundError(path)
             self._lengths_cache[idx] = int(np.load(path, mmap_mode="r").shape[0])
@@ -131,7 +134,7 @@ class EMGFeatureDataset:
     def teacher_length(self, idx: int) -> int:
         """Teacher frame count of item ``idx`` (0 when absent; header only)."""
         if idx not in self._teacher_lengths_cache:
-            path = self._teacher_path(self.df.iloc[idx]["utterance_id"])
+            path = self._teacher_path(self._rows[idx]["utterance_id"])
             if not path.exists():
                 self._teacher_lengths_cache[idx] = 0
             else:
@@ -150,17 +153,20 @@ class EMGFeatureDataset:
 
     def token_length(self, idx: int) -> int:
         if idx not in self._token_lengths_cache:
-            transcript = self.df.iloc[idx]["transcript_norm"]
+            transcript = self._rows[idx]["transcript_norm"]
             self._token_lengths_cache[idx] = len(self.vocab.encode(transcript))
         return self._token_lengths_cache[idx]
 
     def get(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict:
-        row = self.df.iloc[idx]
+        row = self._rows[idx]
         uid = row["utterance_id"]
         path = self._emg_path(uid)
         if not path.exists():
             raise FileNotFoundError(path)
-        feat = np.load(path).astype(np.float32)  # (T, C, M)
+        # mmap + copy=False: the cache is float32 by contract, so the bytes
+        # flow page-cache → collate buffer with ONE copy (np.load + astype
+        # was two). Augments copy before mutating, so mmap stays read-only.
+        feat = np.load(path, mmap_mode="r").astype(np.float32, copy=False)
         if rng is not None:
             feat = channel_dropout_np(feat, self.channel_dropout_cfg, rng)
         t, c, m = feat.shape
@@ -170,7 +176,7 @@ class EMGFeatureDataset:
         if self.include_teacher:
             tp = self._teacher_path(uid)
             if tp.exists():
-                teacher = np.load(tp).astype(np.float32)
+                teacher = np.load(tp, mmap_mode="r").astype(np.float32, copy=False)
             elif self.strict:
                 raise FileNotFoundError(tp)
 
