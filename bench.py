@@ -255,8 +255,12 @@ def main() -> None:
                     "sec_per_step": round(sec_per_step, 5),
                     "flops_per_step": round(flops),
                     "achieved_bf16_tflops": round(achieved_tflops, 1),
+                    # achieved_tflops is AGGREGATE across the mesh; divide by
+                    # the aggregate peak so multi-chip hosts don't inflate MFU
                     "mfu_estimate": (
-                        round(achieved_tflops / peak, 3) if peak else None
+                        round(achieved_tflops / (peak * len(jax.devices())), 3)
+                        if peak
+                        else None
                     ),
                     "device_kind": kind,
                     "n_devices": len(jax.devices()),

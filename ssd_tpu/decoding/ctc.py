@@ -15,6 +15,7 @@ is kept as the oracle and is selectable with ``host_lm=True``.
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Callable, List, Optional
 
@@ -58,14 +59,21 @@ def build_beam_decoder(
 ) -> DecoderFn:
     lm = None
     lm_table = None
-    if lm_path is not None and Path(lm_path).exists():
-        from ssd_tpu.decoding.lm import NGramLM
+    if lm_path is not None:
+        if Path(lm_path).exists():
+            from ssd_tpu.decoding.lm import NGramLM
 
-        lm = NGramLM.from_arpa(Path(lm_path))
-        if not host_lm:
-            from ssd_tpu.decoding.device_lm import pack_lm
+            lm = NGramLM.from_arpa(Path(lm_path))
+            if not host_lm:
+                from ssd_tpu.decoding.device_lm import pack_lm
 
-            lm_table = pack_lm(lm, vocab)
+                lm_table = pack_lm(lm, vocab)
+        else:
+            # deliberate lenient skip (reference parity: orchestrate grids
+            # run before the LM stage exists) — but say so loudly
+            logging.getLogger(__name__).warning(
+                "LM path %s does not exist — beam decoding WITHOUT LM", lm_path
+            )
 
     def decode(log_probs, lengths) -> List[str]:
         if lm_table is not None:

@@ -80,8 +80,8 @@ class InferenceEngine:
         blank_bias: float = 0.0,
         token_top_k: Optional[int] = None,
         lm_path: Optional[Path] = None,
-        alpha: float = 0.5,
-        beta: float = 0.0,
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
         featurizer_cfg: Optional[FeaturizerConfig] = None,
     ) -> None:
         self.cfg = cfg
@@ -98,15 +98,25 @@ class InferenceEngine:
         # on-device LM fusion: constructor arg > config decoding block
         decoding_cfg = cfg.get("decoding", {}) or {}
         lm_path = lm_path or decoding_cfg.get("lm_path")
+        # constructor arg > checkpoint-config decoding block > default —
+        # args default to None so tuned config weights are actually honored
         self.alpha = float(alpha if alpha is not None else decoding_cfg.get("alpha", 0.5))
         self.beta = float(beta if beta is not None else decoding_cfg.get("beta", 0.0))
         self.lm_table = None
-        if lm_path and Path(lm_path).exists() and decoder == "beam":
-            from ssd_tpu.decoding.device_lm import pack_lm
-            from ssd_tpu.decoding.lm import NGramLM
+        if lm_path and decoder == "beam":
+            if Path(lm_path).exists():
+                from ssd_tpu.decoding.device_lm import pack_lm
+                from ssd_tpu.decoding.lm import NGramLM
 
-            self.lm_table = pack_lm(NGramLM.from_arpa(Path(lm_path)), vocab)
-            logger.info("Serving with on-device LM fusion: %s", lm_path)
+                self.lm_table = pack_lm(NGramLM.from_arpa(Path(lm_path)), vocab)
+                logger.info("Serving with on-device LM fusion: %s", lm_path)
+            else:
+                # loud: a typo'd path silently serving LM-free would ship a
+                # WER regression that looks like "no LM configured"
+                logger.warning(
+                    "LM path %s does not exist — serving WITHOUT LM fusion",
+                    lm_path,
+                )
         feat_cfg = cfg.get("features", {}).get("emg", {})
         self.feat_cfg = featurizer_cfg or FeaturizerConfig(
             sample_rate=feat_cfg.get("sample_rate", 1000),
@@ -151,8 +161,15 @@ class InferenceEngine:
         )
         return log_probs, out_lengths
 
-    def _decode(self, log_probs, out_lengths) -> List[str]:
-        if self.decoder == "beam" and self.lm_table is not None:
+    def _decode(self, log_probs, out_lengths, decoder: Optional[str] = None) -> List[str]:
+        """Decode log-probs with ``decoder`` (default: the engine's setting).
+
+        The override exists so callers (e.g. streaming ``finish(beam=True)``)
+        can request a one-off beam pass WITHOUT mutating shared engine state —
+        ``self.decoder`` is read concurrently by the micro-batcher thread.
+        """
+        decoder = decoder or self.decoder
+        if decoder == "beam" and self.lm_table is not None:
             from ssd_tpu.decoding.device_lm import beam_decode_lm_device
 
             return beam_decode_lm_device(
@@ -165,7 +182,7 @@ class InferenceEngine:
                 beta=self.beta,
                 blank_bias=self.blank_bias,
             )
-        if self.decoder == "beam":
+        if decoder == "beam":
             chars, parents, _ = beam_search(
                 log_probs,
                 out_lengths,

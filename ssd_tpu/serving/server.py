@@ -125,6 +125,10 @@ class MicroBatcher:
                 r.event.set()
 
 
+class UnknownSession(KeyError):
+    """Stream session id is unknown or expired (HTTP 404, not 400)."""
+
+
 class StreamSessions:
     """Session registry for chunked streaming transcription."""
 
@@ -153,9 +157,12 @@ class StreamSessions:
 
     def _get(self, sid: str):
         with self._lock:
+            # evict here too: a server that stops receiving NEW streams must
+            # still reclaim sessions abandoned without /stream/finish
+            self._evict_idle()
             entry = self._sessions.get(sid)
             if entry is None:
-                raise KeyError(f"unknown or expired session {sid!r}")
+                raise UnknownSession(f"unknown or expired session {sid!r}")
             entry[2] = time.monotonic()
             return entry
 
@@ -239,9 +246,10 @@ def make_handler(batcher: MicroBatcher, engine: InferenceEngine):
                     self._reply(200, {"hypothesis": hyp, "final": True})
                 else:
                     self._reply(404, {"error": "not found"})
-            except KeyError as exc:
+            except UnknownSession as exc:
                 self._reply(404, {"error": str(exc)})
             except Exception as exc:
+                # incl. KeyError from missing body fields → bad request
                 self._reply(400, {"error": str(exc)})
 
     return Handler
@@ -256,8 +264,8 @@ def serve(
     max_wait_ms: float = 10.0,
     warmup: bool = True,
     lm_path: Path | None = None,
-    alpha: float = 0.5,
-    beta: float = 0.0,
+    alpha: float | None = None,
+    beta: float | None = None,
 ) -> ThreadingHTTPServer:
     engine = InferenceEngine.from_checkpoint(
         checkpoint, decoder=decoder, beam_width=beam_width,
@@ -285,8 +293,10 @@ def main() -> None:
     p.add_argument("--max-wait-ms", type=float, default=10.0)
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--lm-path", type=Path, help="ARPA LM for on-device fusion (beam only)")
-    p.add_argument("--alpha", type=float, default=0.5)
-    p.add_argument("--beta", type=float, default=0.0)
+    # None → fall back to the checkpoint config's decoding block (tuned
+    # weights), then to 0.5/0.0 — mirrors the eval CLI's precedence
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--beta", type=float, default=None)
     args = p.parse_args()
     server = serve(
         args.checkpoint,

@@ -67,6 +67,63 @@ def collapse_ids(ids, carry: int, blank_id: int, pad_id: int) -> tuple[List[int]
     return out, carry
 
 
+def _make_window_fn(engine, feat_cfg: FeaturizerConfig, Tw: int, S: int):
+    """Jitted streaming update for one window geometry, closed over ENGINE.
+
+    raw: (1, Lw, C) float32 window samples (zero-padded right).
+    n_samples: (1,) valid sample count.
+    chunk_start: () int32 — first NEW frame within the window.
+    prior_mean / prior_meansq / prior_cnt: () float32 running normalization
+      statistics from before this chunk, in MOMENT form. The host keeps the
+      authoritative (sum, sumsq, count) in float64/int (unbounded streams
+      overflow or lose precision in on-device fp32/int32 accumulators); the
+      device only ever sees O(1)-magnitude moments plus a float32 count,
+      whose 2⁻²⁴ relative error is harmless in a mean.
+
+    Returns (log_probs, out_length, chunk_sum, chunk_sumsq, chunk_cnt) — the
+    NEW chunk's partial statistics (bounded by the window size, exact in
+    fp32), which the host folds into its float64 totals.
+    """
+
+    def window_impl(raw, n_samples, chunk_start, prior_mean, prior_meansq, prior_cnt):
+        feats, frame_lengths, _, _ = logmel_batch(
+            raw, n_samples, feat_cfg, fused=jax.default_backend() == "tpu"
+        )  # (1, Tw, C, M) clipped, unnormalized; zeros beyond frame_lengths
+
+        # statistics over the NEW frames only (each stream frame counts
+        # once), then normalize the whole window with the merged moments —
+        # the device-side analog of the reference's per-file z-norm
+        C, M = feats.shape[2], feats.shape[3]
+        n_new = jnp.minimum(jnp.int32(S), frame_lengths[0] - chunk_start)
+        n_new = jnp.maximum(n_new, 0)
+        chunk = jax.lax.dynamic_slice(feats, (0, chunk_start, 0, 0), (1, S, C, M))
+        new_mask = (jnp.arange(S) < n_new)[None, :, None, None]
+        chunk = jnp.where(new_mask, chunk, 0.0)
+        chunk_sum = jnp.sum(chunk)
+        chunk_sumsq = jnp.sum(jnp.square(chunk))
+        chunk_cnt = n_new * (C * M)
+
+        total = prior_cnt + chunk_cnt.astype(jnp.float32)
+        denom = jnp.maximum(total, 1.0)
+        mean = (prior_mean * prior_cnt + chunk_sum) / denom
+        meansq = (prior_meansq * prior_cnt + chunk_sumsq) / denom
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        std = jnp.sqrt(var) + 1e-8  # reference: std + 1e-8 (preprocessing.py:63)
+        valid = (jnp.arange(Tw) < frame_lengths[0])[None, :, None, None]
+        feats = jnp.where(valid, (feats - mean) / std, 0.0)
+
+        flat = feats.reshape(1, Tw, C * M)
+        log_probs, out_lengths, _ = engine.model.apply(
+            {"params": engine.params, "batch_stats": engine.batch_stats},
+            flat,
+            frame_lengths,
+            train=False,
+        )
+        return log_probs[0], out_lengths[0], chunk_sum, chunk_sumsq, chunk_cnt
+
+    return jax.jit(window_impl)
+
+
 class ChunkedStreamingTranscriber:
     """Incremental EMG transcription with O(window) compute per update.
 
@@ -132,65 +189,18 @@ class ChunkedStreamingTranscriber:
 
         # compiled window functions are cached ON THE ENGINE keyed by the
         # window geometry: concurrent stream sessions with the same settings
-        # (the serving case) share one compile instead of one per session
+        # (the serving case) share one compile instead of one per session.
+        # The cached closure captures the ENGINE only — never this session —
+        # so finished sessions (and their buffered log-probs) are collectable.
         cache = getattr(engine, "_stream_window_fns", None)
         if cache is None:
             cache = engine._stream_window_fns = {}
         key = (self.feat_cfg, self.Tw, self.S)
         if key not in cache:
-            cache[key] = jax.jit(self._window_impl)
+            cache[key] = _make_window_fn(engine, self.feat_cfg, self.Tw, self.S)
         self._window_fn = cache[key]
 
     # ------------------------------------------------------------ internals
-    def _window_impl(self, raw, n_samples, chunk_start, stat_sum, stat_sumsq, stat_cnt):
-        """One streaming update, entirely on device.
-
-        raw: (1, Lw, C) float32 window samples (zero-padded right).
-        n_samples: (1,) valid sample count.
-        chunk_start: () int32 — first NEW frame within the window.
-        stat_*: running normalization statistics (before this chunk).
-
-        Returns (log_probs, out_length, chunk_sum, chunk_sumsq, chunk_cnt) —
-        the chunk statistics go back to the host, which accumulates them in
-        float64 (a float32 running sum would lose digits on long streams).
-        """
-        feats, frame_lengths, _, _ = logmel_batch(
-            raw, n_samples, self.feat_cfg, fused=jax.default_backend() == "tpu"
-        )  # (1, Tw, C, M) clipped, unnormalized; zeros beyond frame_lengths
-
-        # accumulate statistics over the NEW frames only (each stream frame
-        # counts once), then normalize the whole window with the running
-        # totals — the device-side analog of the reference's per-file z-norm
-        C, M = feats.shape[2], feats.shape[3]
-        n_new = jnp.minimum(jnp.int32(self.S), frame_lengths[0] - chunk_start)
-        n_new = jnp.maximum(n_new, 0)
-        chunk = jax.lax.dynamic_slice(
-            feats, (0, chunk_start, 0, 0), (1, self.S, C, M)
-        )
-        new_mask = (jnp.arange(self.S) < n_new)[None, :, None, None]
-        chunk = jnp.where(new_mask, chunk, 0.0)
-        chunk_sum = jnp.sum(chunk)
-        chunk_sumsq = jnp.sum(jnp.square(chunk))
-        chunk_cnt = n_new * (C * M)
-        new_sum = stat_sum + chunk_sum
-        new_sumsq = stat_sumsq + chunk_sumsq
-        new_cnt = stat_cnt + chunk_cnt
-
-        denom = jnp.maximum(new_cnt, 1).astype(jnp.float32)
-        mean = new_sum / denom
-        var = jnp.maximum(new_sumsq / denom - jnp.square(mean), 0.0)
-        std = jnp.sqrt(var) + 1e-8  # reference: std + 1e-8 (preprocessing.py:63)
-        valid = (jnp.arange(self.Tw) < frame_lengths[0])[None, :, None, None]
-        feats = jnp.where(valid, (feats - mean) / std, 0.0)
-
-        flat = feats.reshape(1, self.Tw, C * M)
-        log_probs, out_lengths, _ = self.engine.model.apply(
-            {"params": self.engine.params, "batch_stats": self.engine.batch_stats},
-            flat,
-            frame_lengths,
-            train=False,
-        )
-        return log_probs[0], out_lengths[0], chunk_sum, chunk_sumsq, chunk_cnt
 
     def _complete_frames(self) -> int:
         n = self._total_samples
@@ -224,14 +234,14 @@ class ChunkedStreamingTranscriber:
         a -= a % self.factor  # keep subsampler phase (already multiple; guard)
         raw = self._window_samples(a)
         n_samp = min(self._total_samples - a * self.feat_cfg.hop_length, self.Lw)
-        s, q, c = self._stats
+        s, q, c = self._stats  # float64 sums + exact int count (host-side)
         log_probs, out_len, dsum, dsumsq, dcnt = self._window_fn(
             jnp.asarray(raw[None]),
             jnp.asarray([n_samp], np.int32),
             jnp.int32(e - a),
-            jnp.float32(s),
-            jnp.float32(q),
-            jnp.int32(c),
+            jnp.float32(s / c if c else 0.0),
+            jnp.float32(q / c if c else 0.0),
+            jnp.float32(c),
         )
         self._stats = (s + float(dsum), q + float(dsumsq), c + int(dcnt))
         lp = np.asarray(log_probs, np.float32)
@@ -295,14 +305,11 @@ class ChunkedStreamingTranscriber:
             T_pad = max(128, ((T + 127) // 128) * 128)
             padded = np.zeros((1, T_pad, all_lp.shape[-1]), np.float32)
             padded[0, :T] = all_lp
-            engine_dec = self.engine.decoder
-            try:
-                self.engine.decoder = "beam"
-                self.hypothesis = self.engine._decode(
-                    jnp.asarray(padded), jnp.asarray([T], np.int32)
-                )[0]
-            finally:
-                self.engine.decoder = engine_dec
+            # explicit decoder override — never mutate the shared engine's
+            # decoder setting (read concurrently by the micro-batcher thread)
+            self.hypothesis = self.engine._decode(
+                jnp.asarray(padded), jnp.asarray([T], np.int32), decoder="beam"
+            )[0]
         return self.hypothesis
 
     def reset(self) -> None:

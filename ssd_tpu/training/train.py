@@ -274,6 +274,29 @@ class PreemptionGuard:
         return False
 
 
+# multi-process: how many batches between global stop-flag agreements (each
+# agreement is a tiny cross-process allgather — cheap, but a host sync)
+_PREEMPT_SYNC_EVERY = 32
+
+
+def _stop_requested_globally(guard: Optional["PreemptionGuard"]) -> bool:
+    """True iff ANY process wants to stop — every process gets the same answer.
+
+    A preemption SIGTERM reaches processes at different times (or only some
+    of them). A process that stopped unilaterally would leave the others
+    blocked in the next step's gradient psum forever, so the break decision
+    must be collective: max over all processes' local flags.
+    """
+    if guard is None:
+        return False
+    if jax.process_count() == 1:
+        return guard.requested
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.int32(guard.requested))
+    return bool(np.max(flags) > 0)
+
+
 def run_train_epoch(
     train_step,
     state: TrainState,
@@ -296,9 +319,20 @@ def run_train_epoch(
     n_utterances = 0
     host_step = 0
     epoch_start = time.time()
+    single_process = jax.process_count() == 1
     for batch in prefetch(loader):
-        if stop_flag is not None and stop_flag.requested:
-            break
+        # single process: poll the local flag every batch (free). Multi
+        # process: agree globally every _PREEMPT_SYNC_EVERY batches — all
+        # processes run identical batch counts (loader contract), so the
+        # allgather is collective-consistent and everyone breaks together.
+        if stop_flag is not None:
+            if single_process:
+                if stop_flag.requested:
+                    break
+            elif n_batches % _PREEMPT_SYNC_EVERY == 0 and _stop_requested_globally(
+                stop_flag
+            ):
+                break
         arrays = batch_to_arrays(batch, include_teacher)
         arrays, _ = pad_batch_to_multiple(arrays, n_data)
         arrays["weight"][batch.size :] = 0.0
@@ -507,7 +541,11 @@ def train_from_config(
         # topology-checked restore: the abstract target mirrors the save
         # payload (train state + epoch/step counters)
         abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            # read shape/dtype from the leaf directly — np.asarray on device
+            # arrays would copy the whole train state to host just for dtypes
+            lambda x: jax.ShapeDtypeStruct(
+                np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype
+            ),
             {
                 "params": state.params,
                 "batch_stats": state.batch_stats,
@@ -582,7 +620,7 @@ def train_from_config(
                 grad_accum,
                 stop_flag=guard,
             )
-            if guard.requested:
+            if _stop_requested_globally(guard):
                 # Preemption: save a resumable `last` labeled with the LAST
                 # COMPLETED epoch — `--resume` re-runs the interrupted epoch
                 # (its per-epoch shuffle is deterministic). Partial-epoch
