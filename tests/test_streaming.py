@@ -134,3 +134,53 @@ def test_chunked_finish_beam(engine):
         st.feed(rng.normal(size=(120, 2)).astype(np.float32))
     out = st.finish(beam=True)
     assert isinstance(out, str)
+
+
+def test_concurrent_sessions_no_cross_talk(engine):
+    """Interleaved sessions with identical inputs produce identical outputs,
+    and a beam finish() never perturbs the engine's configured decoder.
+
+    Regression for two review findings: finish(beam=True) used to mutate
+    engine.decoder (racing other requests), and the per-geometry jit cache
+    used to pin the first session object.
+    """
+    import threading
+
+    from ssd_tpu.serving.streaming import ChunkedStreamingTranscriber
+
+    rng = np.random.default_rng(11)
+    audio = rng.normal(size=(900, 2)).astype(np.float32)
+    kw = dict(chunk_frames=8, left_context_frames=16, right_context_frames=4)
+
+    # sequential reference
+    ref = ChunkedStreamingTranscriber(engine, **kw)
+    for i in range(3):
+        ref.feed(audio[i * 300 : (i + 1) * 300])
+    want = ref.finish()
+
+    decoder_before = engine.decoder
+    sessions = [ChunkedStreamingTranscriber(engine, **kw) for _ in range(4)]
+    results = [None] * 4
+    errors = []
+
+    def run(i):
+        try:
+            for j in range(3):
+                sessions[i].feed(audio[j * 300 : (j + 1) * 300])
+            # odd sessions finish with a one-off beam pass
+            results[i] = sessions[i].finish(beam=bool(i % 2))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # greedy finishes match the sequential reference exactly
+    assert results[0] == want and results[2] == want
+    # beam finishes are deterministic across sessions
+    assert results[1] == results[3]
+    # the shared engine's decoder setting was never perturbed
+    assert engine.decoder == decoder_before
