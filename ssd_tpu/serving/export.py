@@ -132,6 +132,16 @@ class ExportedTranscriber:
 
         path = Path(path)
         manifest = json.loads((path / _MANIFEST).read_text())
+        backend = jax.default_backend()
+        platforms = manifest.get("platforms") or []
+        if platforms and backend not in platforms:
+            # deserialization failure downstream would be a cryptic XLA
+            # error; say what actually happened
+            raise RuntimeError(
+                f"artifact at {path} was exported for platforms {platforms} "
+                f"but this process runs on {backend!r}; re-export on the "
+                "deployment platform (jax.export artifacts are platform-locked)"
+            )
         fns = {}
         for bucket in manifest["buckets"]:
             data = (path / bucket["file"]).read_bytes()

@@ -89,3 +89,17 @@ def test_cli(tmp_path, ckpt):
     rng = np.random.default_rng(2)
     hyp = t.transcribe([_emg(rng, 200)])
     assert len(hyp) == 1 and isinstance(hyp[0], str)
+
+
+def test_platform_mismatch_gives_clear_error(exported, tmp_path, monkeypatch):
+    import shutil
+
+    from ssd_tpu.serving.export import ExportedTranscriber
+
+    copy = tmp_path / "foreign"
+    shutil.copytree(exported, copy)
+    manifest = json.loads((copy / "manifest.json").read_text())
+    manifest["platforms"] = ["tpu"]
+    (copy / "manifest.json").write_text(json.dumps(manifest))
+    with pytest.raises(RuntimeError, match="platform-locked"):
+        ExportedTranscriber.load(copy)
