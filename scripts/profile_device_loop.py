@@ -122,6 +122,10 @@ if __name__ == "__main__":
     for v in variants:
         if v == "base":
             time_variant("full step (B=32)")
+        elif v == "b24":
+            time_variant("full step (B=24)", batch_size=24)
+        elif v == "b48":
+            time_variant("full step (B=48)", batch_size=48)
         elif v == "b64":
             time_variant("full step (B=64)", batch_size=64)
         elif v == "dwpallas":
