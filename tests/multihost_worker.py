@@ -92,6 +92,23 @@ def main() -> None:
                  "val_total": val["total"]}
             )
 
+    # --- preemption coordination: SIGTERM reaches only SOME processes ---
+    # (the real failure mode: a unilateral stop leaves the others blocked in
+    # the next step's psum forever; the guard's stop decision must be a
+    # collective max over local flags)
+    from ssd_tpu.training.train import PreemptionGuard, _stop_requested_globally
+
+    guard = PreemptionGuard()
+    guard.requested = proc_id == 0  # signal skew: only process 0 got SIGTERM
+    agreed = _stop_requested_globally(guard)
+    with mesh:
+        state, pre_losses = run_train_epoch(
+            train_step, state, loader, mesh, lambdas, rng,
+            include_teacher=False, writer=None, log_interval=100,
+            schedule=schedule, grad_accum=1, stop_flag=guard,
+        )
+    results["preempt"] = {"agreed": bool(agreed), "batches": pre_losses["batches"]}
+
     (workdir / f"result_{proc_id}.json").write_text(json.dumps(results))
     print(f"[{proc_id}] OK", flush=True)
 

@@ -89,3 +89,10 @@ def test_two_process_training_lockstep(tmp_path):
         assert np.isfinite(e0["train_total"]) and np.isfinite(e0["val_total"])
     # training actually progressed
     assert r0["epochs"][1]["val_total"] < r0["epochs"][0]["val_total"] * 1.5
+
+    # preemption coordination: the signal reached ONLY process 0, yet both
+    # processes agreed to stop (collective max) and broke at the same step —
+    # no one-sided break, no psum deadlock (a hang would trip the timeout)
+    assert r0["preempt"]["agreed"] is True
+    assert r1["preempt"]["agreed"] is True
+    assert r0["preempt"]["batches"] == r1["preempt"]["batches"] == 0
