@@ -22,6 +22,45 @@ def test_plots_written(tmp_path):
         assert (tmp_path / name).stat().st_size > 0
 
 
+def test_cli_main_writes_all_artifacts(tmp_path, monkeypatch):
+    """End-to-end main(): EMG+teacher caches with metadata sidecars → 3 PNGs."""
+    import json
+    import sys
+
+    from ssd_tpu.evaluation import visualize
+
+    rng = np.random.default_rng(1)
+    utt = "split/spk/utt0"
+    emg_dir = tmp_path / "features" / "emg" / "split" / "spk"
+    tch_dir = tmp_path / "features" / "teacher" / "split" / "spk"
+    emg_dir.mkdir(parents=True)
+    tch_dir.mkdir(parents=True)
+    np.save(emg_dir / "utt0.npy", rng.normal(size=(30, 8, 10)).astype(np.float32))
+    np.save(tch_dir / "utt0.npy", rng.normal(size=(15, 12)).astype(np.float32))
+    (emg_dir / "utt0.json").write_text(json.dumps({"hop_length": 10, "sample_rate": 1000}))
+    (tch_dir / "utt0.json").write_text(json.dumps({"frame_stride_sec": 0.02}))
+
+    out_dir = tmp_path / "plots"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "visualize",
+            "--features-root",
+            str(tmp_path / "features"),
+            "--utterance-id",
+            utt,
+            "--out-dir",
+            str(out_dir),
+            "--umap",
+        ],
+    )
+    visualize.main()
+    safe = utt.replace("/", "_")
+    for suffix in ("emg", "emg_teacher", "teacher_umap"):
+        assert (out_dir / f"{safe}_{suffix}.png").stat().st_size > 0
+
+
 def test_load_features(tmp_path):
     d = tmp_path / "emg" / "split" / "s"
     d.mkdir(parents=True)
