@@ -125,6 +125,26 @@ def evaluate_checkpoint(
     return {"metrics": metrics, "records": records}
 
 
+def apply_device_choice(choice: str) -> None:
+    """Map ``--device`` onto the runtime's actual platform.
+
+    ``cpu`` pins the CPU backend. ``tpu`` means "the attached accelerator",
+    which may register under a different platform name (the tunneled backend
+    on this image registers as ``axon``), so instead of pinning the literal
+    string — which would throw on any such runtime — we validate that a
+    non-CPU accelerator is actually present and let JAX's default backend
+    selection use it.
+    """
+    if choice == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        return
+    platform = jax.devices()[0].platform  # initializes the default backend
+    if platform == "cpu":
+        raise SystemExit(
+            f"--device {choice} requested but only CPU devices are available"
+        )
+
+
 def _parse_args() -> argparse.Namespace:
     p = argparse.ArgumentParser(description="Evaluate a trained checkpoint.")
     p.add_argument("--checkpoint", type=Path, required=True)
@@ -170,7 +190,7 @@ def main() -> None:
     setup_cli_logging()
     args = _parse_args()
     if args.device:
-        jax.config.update("jax_platforms", args.device)
+        apply_device_choice(args.device)
     ckpt_path = args.checkpoint
     cfg = load_config_for(ckpt_path)
     data_cfg = cfg["data"]

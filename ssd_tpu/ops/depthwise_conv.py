@@ -130,7 +130,16 @@ def _bwd_call(x, w, g, pad):
 
 @jax.custom_vjp
 def depthwise_conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """'SAME'-padded depthwise conv: x (B,T,C), w (K,C), b (C,) → (B,T,C)."""
+    """'SAME'-padded depthwise conv: x (B,T,C), w (K,C), b (C,) → (B,T,C).
+
+    Odd kernel sizes only: with even K, ``nn.Conv`` + symmetric padding emits
+    T−1 frames while this kernel always emits T, so the drop-in equivalence
+    would silently break (the model uses K=15/31, so this costs nothing).
+    """
+    if w.shape[0] % 2 == 0:
+        raise ValueError(
+            f"depthwise_conv1d requires an odd kernel size, got K={w.shape[0]}"
+        )
     return _fwd_call(x, w, b, (w.shape[0] - 1) // 2)
 
 

@@ -248,9 +248,15 @@ def make_handler(batcher: MicroBatcher, engine: InferenceEngine):
                     self._reply(404, {"error": "not found"})
             except UnknownSession as exc:
                 self._reply(404, {"error": str(exc)})
-            except Exception as exc:
-                # incl. KeyError from missing body fields → bad request
+            except (KeyError, ValueError, TypeError) as exc:
+                # Malformed request body (missing fields, bad base64/npy, wrong
+                # types) — the caller's fault.
                 self._reply(400, {"error": str(exc)})
+            except Exception as exc:
+                # Anything else (engine/device/compile failures) is server-side:
+                # log it and report 500 so monitoring doesn't blame the client.
+                logger.exception("Internal error handling %s", self.path)
+                self._reply(500, {"error": f"internal error: {exc}"})
 
     return Handler
 

@@ -108,3 +108,15 @@ def test_full_encoder_pallas_vs_lax_bf16():
     got, gl = enc_pls.apply(variables, x, lengths, False)
     np.testing.assert_array_equal(np.asarray(wl), np.asarray(gl))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.08, rtol=0.05)
+
+
+def test_even_kernel_rejected():
+    import pytest
+
+    from ssd_tpu.ops.depthwise_conv import depthwise_conv1d
+
+    x = jnp.zeros((1, 8, 4), jnp.float32)
+    w = jnp.zeros((4, 4), jnp.float32)
+    b = jnp.zeros((4,), jnp.float32)
+    with pytest.raises(ValueError, match="odd kernel size"):
+        depthwise_conv1d(x, w, b)

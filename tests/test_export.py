@@ -51,13 +51,13 @@ def test_artifact_layout(exported):
         assert (exported / b["file"]).exists()
 
 
-def test_reload_matches_engine(exported, ckpt):
+def test_reload_matches_engine(exported, ckpt, monkeypatch):
     from ssd_tpu.serving import engine as engmod
     from ssd_tpu.serving.export import ExportedTranscriber
 
     t = ExportedTranscriber.load(exported)
-    engmod.SAMPLE_BUCKET = BUCKET
-    engmod.BATCH_BUCKETS = (1, 2)
+    monkeypatch.setattr(engmod, "SAMPLE_BUCKET", BUCKET)
+    monkeypatch.setattr(engmod, "BATCH_BUCKETS", (1, 2))
     engine = engmod.InferenceEngine.from_checkpoint(ckpt, decoder="greedy")
     rng = np.random.default_rng(0)
     emg = [_emg(rng, 180), _emg(rng, 240)]

@@ -102,3 +102,45 @@ def test_batch_sharding_places_shards():
     x = np.zeros((16, 4), np.float32)
     arr = jax.device_put(x, batch_sharding(mesh))
     assert len(arr.sharding.device_set) == 8
+
+
+# ---------------------------------------------------------------- launch auto-detect
+def test_multihost_launch_detected():
+    from ssd_tpu.parallel.mesh import multihost_launch_detected as det
+
+    assert not det({})
+    assert not det({"TPU_WORKER_HOSTNAMES": "host0"})  # single host
+    assert not det({"SLURM_NTASKS": "1", "OMPI_COMM_WORLD_SIZE": "bogus"})
+    assert det({"COORDINATOR_ADDRESS": "10.0.0.1:1234"})
+    assert det({"JAX_COORDINATOR_ADDRESS": "10.0.0.1:1234"})
+    assert det({"MEGASCALE_COORDINATOR_ADDRESS": "10.0.0.1:1234"})
+    assert det({"TPU_WORKER_HOSTNAMES": "host0,host1"})
+    assert det({"SLURM_NTASKS": "4"})
+    assert det({"OMPI_COMM_WORLD_SIZE": "2"})
+
+
+def test_maybe_initialize_distributed(monkeypatch):
+    from ssd_tpu.parallel import mesh as meshmod
+
+    calls = []
+    monkeypatch.setattr(
+        meshmod.jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    # no launcher markers → no init attempt
+    meshmod.maybe_initialize_distributed(env={})
+    assert calls == []
+    # auto-detected launcher → bare initialize() (jax reads its own env)
+    meshmod.maybe_initialize_distributed(env={"TPU_WORKER_HOSTNAMES": "a,b"})
+    assert calls == [{}]
+    # explicit contract forwards coordinator/num/id
+    calls.clear()
+    meshmod.maybe_initialize_distributed(
+        env={
+            "COORDINATOR_ADDRESS": "10.0.0.1:9999",
+            "NUM_PROCESSES": "2",
+            "PROCESS_ID": "1",
+        }
+    )
+    assert calls == [
+        {"coordinator_address": "10.0.0.1:9999", "num_processes": 2, "process_id": 1}
+    ]

@@ -135,3 +135,54 @@ def test_http_server_roundtrip(ckpt):
             assert e.code == 404
     finally:
         server.shutdown()
+
+def test_http_error_code_mapping():
+    """Client faults → 400; unexpected engine failures → 500 (not 400)."""
+    from http.server import ThreadingHTTPServer
+
+    from ssd_tpu.serving.server import encode_npy, make_handler
+
+    class _Stats:
+        def summary(self):
+            return {}
+
+    class _BoomEngine:
+        stats = _Stats()
+
+        def transcribe(self, arrays):
+            raise RuntimeError("device fell over")
+
+    class _Batcher:
+        def submit(self, arr):
+            raise RuntimeError("device fell over")
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(_Batcher(), _BoomEngine())
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            return urllib.request.urlopen(req, timeout=30)
+
+        # missing "emg" field → KeyError → 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/transcribe", {"wrong_field": 1})
+        assert ei.value.code == 400
+        # undecodable payload → 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/transcribe", {"emg": "not-base64!!"})
+        assert ei.value.code == 400
+        # well-formed request, engine blows up → 500
+        emg = np.zeros((16, 2), np.float32)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/transcribe", {"emg": encode_npy(emg)})
+        assert ei.value.code == 500
+    finally:
+        server.shutdown()
