@@ -90,6 +90,7 @@ def build_beam_decoder(
                 beam_prune_logp=beam_prune_logp,
                 token_min_logp=token_min_logp,
                 blank_bias=blank_bias,
+                token_top_k=token_top_k,
             )
         if lm is not None:
             from ssd_tpu.decoding.host_beam import beam_search_lm_batch

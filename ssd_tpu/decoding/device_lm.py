@@ -52,7 +52,9 @@ _UNK_H = (np.uint32(0xFFFF1234), np.uint32(0xFFFF5678))
 _BOS_H = (np.uint32(0xFFFFB050), np.uint32(0xFFFFB051))
 _EOS_H = (np.uint32(0xFFFFE050), np.uint32(0xFFFFE051))
 
-_PROBES = 8  # static linear-probe length; table grows until all entries fit
+_PROBES = 4  # static linear-probe length; table grows until all entries fit
+# (4, not 8: at ≤50% load linear probing rarely needs >2 slots, the packer
+# grows the table when it does, and probe count is gather volume on device)
 
 
 @dataclass(frozen=True)
@@ -139,23 +141,59 @@ def pack_lm(lm: NGramLM, vocab: Vocab) -> DeviceLMTable:
 # Device-side scoring
 # --------------------------------------------------------------------------
 
+_EMPTY_SENTINEL = np.uint32(0xFFFFFFFF)  # key pair of unused slots
+
+
+def _packed_device_table(table: DeviceLMTable):
+    """((size, 4) uint32 rows ``[k1, k2, lp_bits, bo_bits]``, size), cached.
+
+    One fused row per slot ⇒ a probe batch is ONE gather (keys and float32
+    values bit-cast into the same uint32 row). Unused slots get a sentinel
+    key pair — it never equals a real key (same ~2⁻⁶⁴ collision class as the
+    two-stream hashes themselves), which removes the separate ``used``
+    check. Cached on the (frozen) table instance so repeated decode calls
+    reuse the device copy.
+    """
+    cached = getattr(table, "_packed_device", None)
+    if cached is not None:
+        return cached
+    rows = np.empty((table.size, 4), np.uint32)
+    rows[:, 0] = table.keys1
+    rows[:, 1] = table.keys2
+    rows[~table.used, :2] = _EMPTY_SENTINEL
+    rows[:, 2] = table.logprob.astype(np.float32).view(np.uint32)
+    rows[:, 3] = table.backoff.astype(np.float32).view(np.uint32)
+    packed = (jnp.asarray(rows), table.size)
+    object.__setattr__(table, "_packed_device", packed)
+    return packed
+
 
 def _lookup(table, k1, k2):
-    """Open-addressing probe: (hit, logprob, backoff), elementwise over k1."""
-    keys1, keys2, used, lp_t, bo_t, size = table
+    """Open-addressing probe over a trailing lookup axis.
+
+    ``k1/k2``: (..., L) uint32 key pairs. Returns ``(hit, logprob, backoff)``
+    each (..., L). ALL probe slots of ALL keys are fetched with ONE gather of
+    fused (..., L, P, 4) rows — the original one-gather-per-probe-per-key
+    formulation cost ~80 serial gathers per scan step and dominated the
+    fused search (60 ms/utt → see docs/PERF.md "Fused LM search"). Empty
+    slots hold a sentinel key pair that never matches.
+    """
+    rows_t, size = table  # (size, 4) uint32
     mask = jnp.uint32(size - 1)
-    idx0 = (k1 ^ (k2 * jnp.uint32(_PHI))) & mask
-    found = jnp.zeros(k1.shape, bool)
-    lp = jnp.zeros(k1.shape, jnp.float32)
-    bo = jnp.zeros(k1.shape, jnp.float32)
-    for p in range(_PROBES):
-        idx = (idx0 + jnp.uint32(p)) & mask
-        ok = used[idx] & (keys1[idx] == k1) & (keys2[idx] == k2)
-        take = ok & ~found
-        lp = jnp.where(take, lp_t[idx], lp)
-        bo = jnp.where(take, bo_t[idx], bo)
-        found = found | ok
-    return found, lp, bo
+    idx0 = (k1 ^ (k2 * jnp.uint32(_PHI))) & mask  # (..., L)
+    idx = (idx0[..., None] + jnp.arange(_PROBES, dtype=jnp.uint32)) & mask
+    rows = rows_t[idx]  # (..., L, P, 4) — the single gather
+    hit_p = (rows[..., 0] == k1[..., None]) & (rows[..., 1] == k2[..., None])
+    first = jnp.argmax(hit_p, axis=-1)[..., None]  # first matching probe
+    lp = jax.lax.bitcast_convert_type(
+        jnp.take_along_axis(rows[..., 2], first, axis=-1)[..., 0], jnp.float32
+    )
+    bo = jax.lax.bitcast_convert_type(
+        jnp.take_along_axis(rows[..., 3], first, axis=-1)[..., 0], jnp.float32
+    )
+    found = jnp.any(hit_p, axis=-1)
+    zero = jnp.zeros_like(lp)
+    return found, jnp.where(found, lp, zero), jnp.where(found, bo, zero)
 
 
 def _score_word(table, order, cx1, cx2, nw, w1, w2):
@@ -165,30 +203,50 @@ def _score_word(table, order, cx1, cx2, nw, w1, w2):
     j. Mirrors ``NGramLM.score_word`` (lm.py:41-55): longest context first,
     accumulate skipped contexts' backoffs, ``<unk>`` substitution when the
     word's unigram is absent, −99 when even that misses.
+
+    ONE table gather per call: both the real-word and the speculative
+    ``<unk>``-substituted n-gram keys are stacked with the context-backoff
+    keys into a single lookup batch (L = 3·order − 1), and the variant is
+    selected afterwards by the real word's unigram hit.
     """
     O = order - 1
-    uni_hit, _, _ = _lookup(table, w1, w2)
-    w1 = jnp.where(uni_hit, w1, jnp.uint32(_UNK_H[0]))
-    w2 = jnp.where(uni_hit, w2, jnp.uint32(_UNK_H[1]))
+    u1, u2 = jnp.uint32(_UNK_H[0]), jnp.uint32(_UNK_H[1])
+
+    # layout: [ng_real j=O..1 | uni_real | ng_unk j=O..1 | uni_unk | ctx j=O..1]
+    c1s = [cx1[..., j - 1] for j in range(O, 0, -1)]
+    c2s = [cx2[..., j - 1] for j in range(O, 0, -1)]
+    all1 = jnp.stack(
+        [c * jnp.uint32(_S1) + w1 for c in c1s] + [w1]
+        + [c * jnp.uint32(_S1) + u1 for c in c1s] + [jnp.broadcast_to(u1, w1.shape)]
+        + c1s,
+        axis=-1,
+    )
+    all2 = jnp.stack(
+        [c * jnp.uint32(_S2) + w2 for c in c2s] + [w2]
+        + [c * jnp.uint32(_S2) + u2 for c in c2s] + [jnp.broadcast_to(u2, w2.shape)]
+        + c2s,
+        axis=-1,
+    )
+    hit_all, lp_all, bo_all = _lookup(table, all1, all2)
+
+    uni_hit = hit_all[..., O]  # real word's unigram present?
+
+    def sel(arr, i):  # level i: real variant when uni_hit, else unk variant
+        return jnp.where(uni_hit, arr[..., i], arr[..., O + 1 + i])
 
     kmax = jnp.minimum(nw, O)
     found = jnp.zeros(w1.shape, bool)
     score = jnp.full(w1.shape, -99.0, jnp.float32)
     penalty = jnp.zeros(w1.shape, jnp.float32)
-    for j in range(O, -1, -1):  # static walk: longest context → unigram
+    for i, j in enumerate(range(O, -1, -1)):  # longest context → unigram
         valid = kmax >= j
-        if j > 0:
-            c1, c2 = cx1[..., j - 1], cx2[..., j - 1]
-            k1 = c1 * jnp.uint32(_S1) + w1
-            k2 = c2 * jnp.uint32(_S2) + w2
-        else:
-            k1, k2 = w1, w2
-        hit, lp, _ = _lookup(table, k1, k2)
+        hit = sel(hit_all, i)
+        lp = sel(lp_all, i)
         take = valid & hit & ~found
         score = jnp.where(take, penalty + lp, score)
         found = found | (valid & hit)
         if j > 0:
-            _, _, bo = _lookup(table, c1, c2)  # backoff of the skipped context
+            bo = bo_all[..., 2 * O + 2 + i]  # backoff of the skipped context
             penalty = penalty + jnp.where(valid & ~found, bo, 0.0)
     return score
 
@@ -211,8 +269,16 @@ def beam_search_lm_device(
     beam_prune_logp: float = -10.0,
     token_min_logp: float = -5.0,
     blank_bias: float = 0.0,
+    token_top_k: Optional[int] = None,
 ):
     """Batched prefix beam search with in-search word-LM fusion.
+
+    ``token_top_k`` restricts per-frame extension candidates to the frame's
+    top-k tokens (same preselection as ``ops.ctc_decode.beam_search``): the
+    per-step candidate set shrinks from ``K·(V+1)`` to ``K·(k+1)``, which is
+    the cost center of the fused search (the dedup sort carries ~11 arrays
+    including the ``(B, C, O)`` word-context hashes). Exact whenever ≤k tokens
+    pass the ``token_min_logp`` admission — the typical peaked-softmax case.
 
     Returns ``(chars (T,B,K), parents (T,B,K), final_scores (B,K),
     best_beam (B,))`` — feed ``best_beam`` to :func:`traceback`.
@@ -220,14 +286,7 @@ def beam_search_lm_device(
     return _beam_search_lm_jit(
         log_probs,
         lengths,
-        (
-            jnp.asarray(table.keys1),
-            jnp.asarray(table.keys2),
-            jnp.asarray(table.used),
-            jnp.asarray(table.logprob),
-            jnp.asarray(table.backoff),
-            table.size,
-        ),
+        _packed_device_table(table),
         table.order,
         blank_id,
         pad_id,
@@ -238,6 +297,7 @@ def beam_search_lm_device(
         float(beam_prune_logp),
         float(token_min_logp),
         float(blank_bias),
+        token_top_k,
     )
 
 
@@ -246,6 +306,7 @@ def beam_search_lm_device(
     static_argnames=(
         "order", "blank_id", "pad_id", "space_id", "beam_width",
         "alpha", "beta", "beam_prune_logp", "token_min_logp", "blank_bias",
+        "token_top_k",
     ),
 )
 def _beam_search_lm_jit(
@@ -262,6 +323,7 @@ def _beam_search_lm_jit(
     beam_prune_logp,
     token_min_logp,
     blank_bias,
+    token_top_k=None,
 ):
     B, T, V = log_probs.shape
     K = beam_width
@@ -277,9 +339,19 @@ def _beam_search_lm_jit(
 
     token_ids = jnp.arange(V, dtype=jnp.int32)
     ext_invalid = (token_ids == blank_id) | (token_ids == pad_id)
-    is_space_tok = token_ids == space_id  # (V,)
 
-    C = K + K * V  # stay + extension candidates
+    # Extension-token axis: all valid tokens (E = V) or the per-frame top-k
+    # (E = k), mirroring ops.ctc_decode.beam_search's preselection.
+    masked_lp = jnp.where(ext_invalid[None, None, :], NEG_INF, lp)  # (B,T,V)
+    if token_top_k is not None and token_top_k < V:
+        ext_vals_all, ext_ids_all = jax.lax.top_k(masked_lp, token_top_k)
+        ext_ids_all = ext_ids_all.astype(jnp.int32)
+    else:
+        ext_vals_all = masked_lp
+        ext_ids_all = jnp.broadcast_to(token_ids[None, None, :], (B, T, V))
+    E = ext_vals_all.shape[2]
+
+    C = K + K * E  # stay + extension candidates
 
     def fused(pb, pnb, lm):
         return jnp.logaddexp(pb, pnb) + lm
@@ -299,7 +371,7 @@ def _beam_search_lm_jit(
     )
 
     def step(carry, inputs):
-        lp_t, t_idx = inputs  # (B, V), scalar
+        lp_t, ext_vals, ext_ids, t_idx = inputs  # (B,V), (B,E), (B,E), scalar
         pb, pnb = carry["p_b"], carry["p_nb"]
         h1, h2, last, lm = carry["h1"], carry["h2"], carry["last"], carry["lm"]
         pw1, pw2, nw = carry["pw1"], carry["pw2"], carry["nw"]
@@ -328,28 +400,29 @@ def _beam_search_lm_jit(
         lp_last = jnp.take_along_axis(lp_adm, jnp.clip(last, 0, V - 1), axis=1)
         stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
 
-        # ---- extension candidates (beam × token)
-        same_as_last = token_ids[None, None, :] == last[:, :, None]  # (B,K,V)
+        # ---- extension candidates (beam × preselected token)
+        ext_admitted = (ext_vals >= token_min_logp) | (
+            ext_ids == argmax_v[:, None]
+        )  # (B, E)
+        lp_ext = jnp.where(ext_admitted, ext_vals, NEG_INF)  # (B, E)
+        same_as_last = ext_ids[:, None, :] == last[:, :, None]  # (B,K,E)
         base = jnp.where(same_as_last, pb[:, :, None], p_tot[:, :, None])
-        ext_pnb = base + lp_adm[:, None, :]  # (B, K, V)
+        ext_pnb = base + lp_ext[:, None, :]  # (B, K, E)
 
-        vv = token_ids.astype(jnp.uint32) + jnp.uint32(1)
-        ext_h1 = h1[:, :, None] * _W1 + vv[None, None, :]
-        ext_h2 = h2[:, :, None] * _W2 + vv[None, None, :]
+        vv = ext_ids.astype(jnp.uint32) + jnp.uint32(1)  # (B, E)
+        ext_h1 = h1[:, :, None] * _W1 + vv[:, None, :]
+        ext_h2 = h2[:, :, None] * _W2 + vv[:, None, :]
 
-        completes = is_space_tok[None, None, :] & partial_live[:, :, None]
+        is_space_ext = (ext_ids == space_id)[:, None, :]  # (B, 1, E)
+        completes = is_space_ext & partial_live[:, :, None]  # (B, K, E)
         ext_lm = lm[:, :, None] + jnp.where(completes, delta[:, :, None], 0.0)
 
         # partial-word hash: space resets, chars roll
         ext_pw1 = jnp.where(
-            is_space_tok[None, None, :],
-            jnp.uint32(0),
-            pw1[:, :, None] * _W1 + vv[None, None, :],
+            is_space_ext, jnp.uint32(0), pw1[:, :, None] * _W1 + vv[:, None, :]
         )
         ext_pw2 = jnp.where(
-            is_space_tok[None, None, :],
-            jnp.uint32(0),
-            pw2[:, :, None] * _W2 + vv[None, None, :],
+            is_space_ext, jnp.uint32(0), pw2[:, :, None] * _W2 + vv[:, None, :]
         )
         ext_nw = nw[:, :, None] + completes.astype(jnp.int32)
 
@@ -365,17 +438,19 @@ def _beam_search_lm_jit(
             new_cx1, new_cx2 = cx1, cx2
         ext_cx1 = jnp.where(
             completes[:, :, :, None], new_cx1[:, :, None, :], cx1[:, :, None, :]
-        )  # (B, K, V, O)
+        )  # (B, K, E, O)
         ext_cx2 = jnp.where(
             completes[:, :, :, None], new_cx2[:, :, None, :], cx2[:, :, None, :]
         )
 
-        # ---- flatten candidates [stay K | ext K·V]
+        ext_char = jnp.broadcast_to(ext_ids[:, None, :], (B, K, E))
+
+        # ---- flatten candidates [stay K | ext K·E]
         def flat2(stay, ext):
-            return jnp.concatenate([stay, ext.reshape(B, K * V)], axis=1)
+            return jnp.concatenate([stay, ext.reshape(B, K * E)], axis=1)
 
         cand = dict(
-            pb=flat2(stay_pb, jnp.full((B, K, V), NEG_INF)),
+            pb=flat2(stay_pb, jnp.full((B, K, E), NEG_INF)),
             pnb=flat2(stay_pnb, ext_pnb),
             h1=flat2(h1, ext_h1),
             h2=flat2(h2, ext_h2),
@@ -383,24 +458,19 @@ def _beam_search_lm_jit(
             pw1=flat2(pw1, ext_pw1),
             pw2=flat2(pw2, ext_pw2),
             nw=flat2(nw, ext_nw),
-            last=flat2(
-                last, jnp.broadcast_to(token_ids[None, None, :], (B, K, V))
-            ),
-            char=flat2(
-                jnp.full((B, K), -1, jnp.int32),
-                jnp.broadcast_to(token_ids[None, None, :], (B, K, V)),
-            ),
+            last=flat2(last, ext_char),
+            char=flat2(jnp.full((B, K), -1, jnp.int32), ext_char),
             parent=flat2(
                 jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K)),
                 jnp.broadcast_to(
-                    jnp.repeat(jnp.arange(K, dtype=jnp.int32), V)[None], (B, K * V)
-                ).reshape(B, K, V),
+                    jnp.repeat(jnp.arange(K, dtype=jnp.int32), E)[None], (B, K * E)
+                ).reshape(B, K, E),
             ),
         )
         cand_cx1 = jnp.concatenate(
-            [cx1, ext_cx1.reshape(B, K * V, O)], axis=1
+            [cx1, ext_cx1.reshape(B, K * E, O)], axis=1
         )  # (B, C, O)
-        cand_cx2 = jnp.concatenate([cx2, ext_cx2.reshape(B, K * V, O)], axis=1)
+        cand_cx2 = jnp.concatenate([cx2, ext_cx2.reshape(B, K * E, O)], axis=1)
 
         # ---- dedup: sort by prefix hash, get permutation, gather everything
         iota = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], (B, C))
@@ -472,7 +542,14 @@ def _beam_search_lm_jit(
         return out, (bp_char, bp_parent)
 
     final, (chars, parents) = jax.lax.scan(
-        step, carry0, (jnp.moveaxis(lp, 0, 1), jnp.arange(T))
+        step,
+        carry0,
+        (
+            jnp.moveaxis(lp, 0, 1),
+            jnp.moveaxis(ext_vals_all, 0, 1),
+            jnp.moveaxis(ext_ids_all, 0, 1),
+            jnp.arange(T),
+        ),
     )
 
     # finalization: score the trailing partial word (host_beam.py:134-138)
@@ -500,6 +577,7 @@ def beam_decode_lm_device(
     beam_prune_logp: float = -10.0,
     token_min_logp: float = -5.0,
     blank_bias: float = 0.0,
+    token_top_k: Optional[int] = None,
 ) -> List[str]:
     """Convenience wrapper: fused search → best-beam texts."""
     space_id = vocab.token_to_id.get(" ")
@@ -516,6 +594,7 @@ def beam_decode_lm_device(
         beam_prune_logp=beam_prune_logp,
         token_min_logp=token_min_logp,
         blank_bias=blank_bias,
+        token_top_k=token_top_k,
     )
     prefixes = traceback(np.asarray(chars), np.asarray(parents), np.asarray(best))
     return [vocab.decode(p) for p in prefixes]

@@ -48,6 +48,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from ssd_tpu.utils.platform import pallas_interpret
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -160,7 +162,7 @@ def _fwd_call(has_drop, q, kt, v, kmask, mult):
     B, H, T, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
     bh, bht, maskspec, multspec = _cell_specs(B, H, T, hd)
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     return pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale, has_drop=has_drop),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -180,7 +182,7 @@ def _bwd_call(has_drop, q, kt, k, vt, kmask, mult, g):
     B, H, T, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
     bh, bht, maskspec, multspec = _cell_specs(B, H, T, hd)
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     shp = jax.ShapeDtypeStruct(q.shape, q.dtype)
     return pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, has_drop=has_drop),

@@ -29,6 +29,8 @@ import functools
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from ssd_tpu.utils.platform import pallas_interpret
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -78,7 +80,7 @@ def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dwp_ref, *, pad):
 def _fwd_call(x, w, b, pad):
     B, T, C = x.shape
     K = w.shape[0]
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     return pl.pallas_call(
         functools.partial(_fwd_kernel, pad=pad),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -101,7 +103,7 @@ def _fwd_call(x, w, b, pad):
 def _bwd_call(x, w, g, pad):
     B, T, C = x.shape
     K = w.shape[0]
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     dx, dwp = pl.pallas_call(
         functools.partial(_bwd_kernel, pad=pad),
         out_shape=(

@@ -28,6 +28,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ssd_tpu.utils.platform import pallas_interpret
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -233,7 +235,7 @@ def _logmel_core_fused(emg: jnp.ndarray, cfg: FeaturizerConfig) -> jnp.ndarray:
     ).T  # (n_bins, M)
 
     grid = (B * C, T_up // tb)
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     out = pl.pallas_call(
         functools.partial(_fused_kernel, hop=cfg.hop_length, n_fft=cfg.n_fft),
         out_shape=jax.ShapeDtypeStruct((B * C, T_up, cfg.n_mels), jnp.float32),

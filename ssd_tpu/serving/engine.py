@@ -26,6 +26,8 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+
+from ssd_tpu.utils.platform import is_tpu_backend
 import numpy as np
 
 from ssd_tpu.data.vocab import Vocab
@@ -149,7 +151,7 @@ class InferenceEngine:
     def _pipeline_impl(self, emg: jnp.ndarray, sample_lengths: jnp.ndarray):
         """(B, L, C) raw EMG → (log_probs, out_lengths)."""
         feats, frame_lengths, _, _ = logmel_batch(
-            emg, sample_lengths, self.feat_cfg, fused=jax.default_backend() == "tpu"
+            emg, sample_lengths, self.feat_cfg, fused=is_tpu_backend()
         )
         B, T, C, M = feats.shape
         flat = feats.reshape(B, T, C * M)
@@ -181,6 +183,7 @@ class InferenceEngine:
                 alpha=self.alpha,
                 beta=self.beta,
                 blank_bias=self.blank_bias,
+                token_top_k=self.token_top_k,
             )
         if decoder == "beam":
             chars, parents, _ = beam_search(

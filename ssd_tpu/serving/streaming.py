@@ -44,6 +44,8 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+
+from ssd_tpu.utils.platform import is_tpu_backend
 import numpy as np
 
 from ssd_tpu.ops.featurizer import FeaturizerConfig, logmel_batch
@@ -87,7 +89,7 @@ def _make_window_fn(engine, feat_cfg: FeaturizerConfig, Tw: int, S: int):
 
     def window_impl(raw, n_samples, chunk_start, prior_mean, prior_meansq, prior_cnt):
         feats, frame_lengths, _, _ = logmel_batch(
-            raw, n_samples, feat_cfg, fused=jax.default_backend() == "tpu"
+            raw, n_samples, feat_cfg, fused=is_tpu_backend()
         )  # (1, Tw, C, M) clipped, unnormalized; zeros beyond frame_lengths
 
         # statistics over the NEW frames only (each stream frame counts

@@ -3,22 +3,33 @@
 All tests run on CPU so that the mesh/pjit paths are exercised without TPU
 hardware (SURVEY.md §4: multi-device CPU simulation). Must be set before jax
 is imported anywhere.
+
+Opt-out: ``SSD_TEST_TPU=1`` leaves the platform alone so the ``tests/tpu/``
+suite can compile the Pallas kernels via Mosaic on the attached chip
+(VERDICT r2 weak #1). Run it as::
+
+    SSD_TEST_TPU=1 PYTHONPATH=/root/.axon_site:/root/repo \
+        python -m pytest tests/tpu -q
+
+(one TPU holder at a time — don't run it while a bench or another TPU
+process is live).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if os.environ.get("SSD_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-# NOTE: do NOT enable the persistent compilation cache here — on this jax
-# build, restoring a cached executable with donated buffers aborts the
-# process (reproducible SIGABRT in the train-step loop on warm cache).
+    # NOTE: do NOT enable the persistent compilation cache here — on this jax
+    # build, restoring a cached executable with donated buffers aborts the
+    # process (reproducible SIGABRT in the train-step loop on warm cache).
 
-# The axon TPU plugin can override JAX_PLATFORMS; pin via jax.config too.
-import jax  # noqa: E402
+    # The axon TPU plugin can override JAX_PLATFORMS; pin via jax.config too.
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

@@ -140,3 +140,36 @@ def test_lm_fusion_changes_the_answer(lm, table):
     assert fused == host
     assert fused[0].endswith("cat")
     assert base[0] != fused[0]
+
+
+def test_token_top_k_matches_exact_on_peaked(lm, table):
+    """Top-k preselection is exact when ≤k tokens pass admission per frame."""
+    rng = np.random.default_rng(11)
+    text = "the dog sat on the log"
+    T = 2 * len(text) + 4
+    lp = _softmax_logits(rng, 2, T, peaked_text=text, scale=0.5)
+    lengths = np.asarray([2 * len(text), 2 * len(text) - 5], np.int32)
+    kwargs = dict(beam_width=16, alpha=0.6, beta=0.1,
+                  beam_prune_logp=-10.0, token_min_logp=-5.0)
+    exact = beam_decode_lm_device(lp, lengths, VOCAB, table, **kwargs)
+    fast = beam_decode_lm_device(
+        lp, lengths, VOCAB, table, token_top_k=16, **kwargs
+    )
+    host = beam_search_lm_batch(lp, lengths, VOCAB, lm, **kwargs)
+    assert fast == exact == host
+    assert exact[0] == text
+
+
+def test_token_top_k_random_logits_close(lm, table):
+    """On diffuse random logits top-k is an approximation; with k well above
+    the admitted-token count it must still agree with the exact search."""
+    rng = np.random.default_rng(13)
+    lp = _softmax_logits(rng, 3, 20, scale=2.5)  # peaked-ish random
+    lengths = np.asarray([20, 14, 17], np.int32)
+    kwargs = dict(beam_width=16, alpha=0.5, beta=0.0,
+                  beam_prune_logp=-10.0, token_min_logp=-5.0)
+    exact = beam_decode_lm_device(lp, lengths, VOCAB, table, **kwargs)
+    fast = beam_decode_lm_device(
+        lp, lengths, VOCAB, table, token_top_k=24, **kwargs
+    )
+    assert fast == exact
