@@ -89,6 +89,7 @@ class EMGFeatureDataset:
         include_teacher: bool = True,
         strict: bool = True,
         channel_dropout_cfg: Optional[ChannelDropoutConfig] = None,
+        raw: bool = False,
     ) -> None:
         df = load_index(Path(index_path))
         df = df[df["split"].isin(list(splits))].reset_index(drop=True)
@@ -106,6 +107,11 @@ class EMGFeatureDataset:
         self.vocab = vocab
         self.include_teacher = include_teacher
         self.strict = strict
+        # raw mode: items carry the ORIGINAL (samples, channels) EMG signal
+        # from the index's emg_path (no feature cache); featurization happens
+        # on device inside the train step. ~8× fewer host/transfer bytes than
+        # cached log-mels at hop 10 (docs/PERF.md "Epoch mode").
+        self.raw = raw
         self.channel_dropout_cfg = channel_dropout_cfg or ChannelDropoutConfig()
         self._lengths_cache: Dict[int, int] = {}
         self._teacher_lengths_cache: Dict[int, int] = {}
@@ -123,9 +129,14 @@ class EMGFeatureDataset:
         return self.features_root / "teacher" / f"{utterance_id}.npy"
 
     def feature_length(self, idx: int) -> int:
-        """Frame count of item ``idx`` (mmap header read only; cached)."""
+        """Time length of item ``idx`` — feature frames, or raw samples in
+        raw mode (mmap header read only; cached)."""
         if idx not in self._lengths_cache:
-            path = self._emg_path(self._rows[idx]["utterance_id"])
+            row = self._rows[idx]
+            path = (
+                Path(row["emg_path"]) if self.raw
+                else self._emg_path(row["utterance_id"])
+            )
             if not path.exists():
                 raise FileNotFoundError(path)
             self._lengths_cache[idx] = int(np.load(path, mmap_mode="r").shape[0])
@@ -160,17 +171,25 @@ class EMGFeatureDataset:
     def get(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict:
         row = self._rows[idx]
         uid = row["utterance_id"]
-        path = self._emg_path(uid)
-        if not path.exists():
-            raise FileNotFoundError(path)
-        # mmap + copy=False: the cache is float32 by contract, so the bytes
-        # flow page-cache → collate buffer with ONE copy (np.load + astype
-        # was two). Augments copy before mutating, so mmap stays read-only.
-        feat = np.load(path, mmap_mode="r").astype(np.float32, copy=False)
-        if rng is not None:
-            feat = channel_dropout_np(feat, self.channel_dropout_cfg, rng)
-        t, c, m = feat.shape
-        emg = feat.reshape(t, c * m)
+        if self.raw:
+            path = Path(row["emg_path"])
+            if not path.exists():
+                raise FileNotFoundError(path)
+            # (samples, channels) — augmentation happens on device in this
+            # mode (host channel dropout needs the (T, C, M) feature layout)
+            emg = np.load(path, mmap_mode="r").astype(np.float32, copy=False)
+        else:
+            path = self._emg_path(uid)
+            if not path.exists():
+                raise FileNotFoundError(path)
+            # mmap + copy=False: the cache is float32 by contract, so the bytes
+            # flow page-cache → collate buffer with ONE copy (np.load + astype
+            # was two). Augments copy before mutating, so mmap stays read-only.
+            feat = np.load(path, mmap_mode="r").astype(np.float32, copy=False)
+            if rng is not None:
+                feat = channel_dropout_np(feat, self.channel_dropout_cfg, rng)
+            t, c, m = feat.shape
+            emg = feat.reshape(t, c * m)
 
         teacher = None
         if self.include_teacher:
@@ -299,12 +318,16 @@ class DataLoader:
         shard_index: int = 0,
         drop_last: bool = False,
         bucket_batches: bool = True,
+        time_bucket: int = TIME_BUCKET,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.spec_augment_cfg = spec_augment_cfg
+        # time-axis padding granularity: feature frames normally, raw samples
+        # (frames × hop) when the dataset is in raw mode
+        self.time_bucket = time_bucket
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.drop_last = drop_last
@@ -335,7 +358,9 @@ class DataLoader:
         if self.shuffle and self.bucket_batches:
             # stable sort by bucketed length keeps shuffle randomness within
             # equal-bucket groups while minimizing padding waste
-            indices.sort(key=lambda i: _round_up(self.dataset.feature_length(i), TIME_BUCKET))
+            indices.sort(
+                key=lambda i: _round_up(self.dataset.feature_length(i), self.time_bucket)
+            )
         bg = self._global_batch_size
         batches = [indices[i : i + bg] for i in range(0, len(indices), bg)]
         if self.drop_last and batches and len(batches[-1]) < bg:
@@ -350,7 +375,7 @@ class DataLoader:
         t_max = max(ds.feature_length(i) for i in global_batch)
         s_max = max(ds.token_length(i) for i in global_batch)
         kwargs: Dict = dict(
-            pad_time_to=_round_up(t_max, TIME_BUCKET),
+            pad_time_to=_round_up(t_max, self.time_bucket),
             pad_tokens_to=_round_up(s_max, TOKEN_BUCKET),
             pad_rows_to=self.batch_size,
         )
@@ -382,13 +407,17 @@ class DataLoader:
                     self.dataset.vocab,
                     spec_augment_cfg=self.spec_augment_cfg if self.shuffle else None,
                     rng=rng,
+                    time_bucket=self.time_bucket,
                     **pad_kwargs,
                 )
             else:
                 # a tiny final global batch can leave this shard empty; all
                 # processes must still step — emit an all-padding batch
                 donor = self.dataset.get(global_batch[0])
-                batch = collate([donor], self.dataset.vocab, **pad_kwargs)
+                batch = collate(
+                    [donor], self.dataset.vocab,
+                    time_bucket=self.time_bucket, **pad_kwargs,
+                )
                 batch.emg[:] = 0.0
                 batch.emg_lengths[:] = 0
                 batch.tokens[:] = self.dataset.vocab.pad_id
@@ -443,8 +472,21 @@ def make_dataloader(
     channel_dropout_cfg: Optional[ChannelDropoutConfig] = None,
     num_shards: int = 1,
     shard_index: int = 0,
+    raw: bool = False,
+    raw_hop_length: int = 10,
 ) -> DataLoader:
-    """Reference-surface factory (``dataset.py:220-259``)."""
+    """Reference-surface factory (``dataset.py:220-259``).
+
+    ``raw=True`` loads the ORIGINAL (samples, channels) EMG from the index's
+    ``emg_path`` instead of cached features; featurization then happens on
+    device inside the train step (``data.train_from_raw`` config key). Host
+    augmentation is unavailable in this mode — use ``augmentation.on_device``.
+    """
+    if raw and (spec_augment_cfg is not None or channel_dropout_cfg is not None):
+        raise ValueError(
+            "raw mode featurizes on device; host augmentation configs must be "
+            "moved on device (augmentation.on_device: true)"
+        )
     dataset = EMGFeatureDataset(
         index_path=index_path,
         features_root=features_root,
@@ -454,6 +496,7 @@ def make_dataloader(
         include_teacher=include_teacher,
         strict=strict,
         channel_dropout_cfg=channel_dropout_cfg,
+        raw=raw,
     )
     return DataLoader(
         dataset,
@@ -464,4 +507,6 @@ def make_dataloader(
         max_items=max_items,
         num_shards=num_shards,
         shard_index=shard_index,
+        # same frame granularity as feature mode, expressed in samples
+        time_bucket=TIME_BUCKET * raw_hop_length if raw else TIME_BUCKET,
     )

@@ -97,8 +97,23 @@ def _losses(
     train: bool,
     dropout_rng: Optional[jax.Array],
     augment: Optional[Tuple] = None,
+    featurize: Optional[Tuple] = None,
 ) -> Tuple[jnp.ndarray, Tuple[Dict[str, jnp.ndarray], Any]]:
     emg = batch["emg"]
+    emg_lengths = batch["emg_lengths"]
+    if featurize is not None:
+        # raw-EMG mode (data.train_from_raw): batch["emg"] is the original
+        # (B, samples, channels) signal; log-mel runs ON DEVICE in the step
+        # (fused Pallas on TPU). 8× fewer host→device bytes than cached
+        # features at hop 10, and the featurizer rides the same executable.
+        from ssd_tpu.ops.featurizer import logmel_batch
+
+        feat_cfg, fused = featurize
+        feats, emg_lengths, _, _ = logmel_batch(
+            emg, emg_lengths, feat_cfg, fused=fused
+        )
+        B, T, C, M = feats.shape
+        emg = feats.reshape(B, T, C * M)
     if train and augment is not None and dropout_rng is not None:
         spec_cfg, chan_cfg, n_mels = augment
         k_spec, k_chan = jax.random.split(jax.random.fold_in(dropout_rng, 7), 2)
@@ -112,13 +127,13 @@ def _losses(
         if spec_cfg is not None:
             from ssd_tpu.data.augment import spec_augment_jax
 
-            emg = spec_augment_jax(emg, batch["emg_lengths"], spec_cfg, k_spec)
+            emg = spec_augment_jax(emg, emg_lengths, spec_cfg, k_spec)
 
     variables = {"params": params, "batch_stats": batch_stats}
     kwargs = dict(mutable=["batch_stats"]) if train else dict(mutable=False)
     rngs = {"dropout": dropout_rng} if train else None
     out = model.apply(
-        variables, emg, batch["emg_lengths"], train=train, rngs=rngs, **kwargs
+        variables, emg, emg_lengths, train=train, rngs=rngs, **kwargs
     )
     if train:
         (log_probs, out_lengths, student), updates = out
@@ -153,10 +168,13 @@ def _losses(
     return total, (losses, new_batch_stats)
 
 
-def make_train_step(model, tx, blank_id, normalize_distill, augment=None):
+def make_train_step(model, tx, blank_id, normalize_distill, augment=None,
+                    featurize=None):
     """``augment=(spec_cfg, chan_cfg, n_mels)`` moves SpecAugment/channel
     dropout onto the device inside the jitted step (PRNG-keyed); None keeps
-    the host-side loader augmentation (reference semantics)."""
+    the host-side loader augmentation (reference semantics).
+    ``featurize=(FeaturizerConfig, fused)`` consumes RAW-EMG batches and
+    log-mels them on device (``data.train_from_raw``)."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lambdas, dropout_rng):
@@ -164,7 +182,7 @@ def make_train_step(model, tx, blank_id, normalize_distill, augment=None):
         grad_fn = jax.value_and_grad(
             lambda p: _losses(
                 model, p, state.batch_stats, batch, lambdas, blank_id,
-                normalize_distill, True, rng, augment,
+                normalize_distill, True, rng, augment, featurize,
             ),
             has_aux=True,
         )
@@ -216,12 +234,12 @@ def flush_partial_accumulation(state: TrainState, flush_step, grad_accum: int):
     return state
 
 
-def make_eval_step(model, blank_id, normalize_distill):
+def make_eval_step(model, blank_id, normalize_distill, featurize=None):
     @jax.jit
     def eval_step(state: TrainState, batch, lambdas):
         _, (losses, _) = _losses(
             model, state.params, state.batch_stats, batch, lambdas, blank_id,
-            normalize_distill, False, None,
+            normalize_distill, False, None, None, featurize,
         )
         return losses
 
@@ -436,12 +454,33 @@ def train_from_config(
     rng = set_seed(cfg["logging"].get("seed", 42))
     vocab = Vocab.from_json(Path(cfg["data"]["vocab"]))
     spec_cfg, chan_cfg = _augment_cfgs(cfg)
+    # `data.train_from_raw: true` feeds the ORIGINAL (samples, channels) EMG
+    # and log-mels ON DEVICE inside the step (fused Pallas on TPU) — ~8×
+    # fewer host/transfer bytes than cached features; augmentation moves on
+    # device automatically (host augments need the feature layout)
+    train_from_raw = bool(cfg["data"].get("train_from_raw", False))
     # `augmentation.on_device: true` fuses SpecAugment/channel-dropout into
     # the jitted step (PRNG-keyed) instead of the host loader
-    on_device_augment = bool(cfg.get("augmentation", {}).get("on_device", False))
+    on_device_augment = train_from_raw or bool(
+        cfg.get("augmentation", {}).get("on_device", False)
+    )
     loader_spec_cfg, loader_chan_cfg = (
         (None, None) if on_device_augment else (spec_cfg, chan_cfg)
     )
+    featurize = None
+    if train_from_raw:
+        from ssd_tpu.ops.featurizer import FeaturizerConfig
+        from ssd_tpu.utils.platform import is_tpu_backend
+
+        femg = cfg.get("features", {}).get("emg", {}) or {}
+        feat_cfg = FeaturizerConfig(
+            sample_rate=int(femg.get("sample_rate", 1000)),
+            n_fft=int(femg.get("n_fft", 320)),
+            hop_length=int(femg.get("hop_length", 10)),
+            n_mels=int(femg.get("n_mels", 80)),
+            normalize=femg.get("normalize", "per_file"),
+        )
+        featurize = (feat_cfg, is_tpu_backend())
 
     include_teacher = bool(cfg["data"].get("include_teacher", True))
     teacher_strict = bool(cfg["data"].get("teacher_strict", True))
@@ -460,6 +499,8 @@ def train_from_config(
         vocab=vocab,
         include_teacher=include_teacher,
         strict=teacher_strict,
+        raw=train_from_raw,
+        raw_hop_length=(featurize[0].hop_length if featurize else 10),
     )
     train_loader = make_dataloader(
         splits=cfg["data"]["train_splits"],
@@ -494,11 +535,15 @@ def train_from_config(
         cfg["optim"].get("grad_accum", 1),
     )
 
-    # infer input dim from the first cached feature (reference: first batch)
+    # infer input dim from the first cached feature (reference: first batch);
+    # raw mode: channels from the first raw file × configured n_mels
     if len(train_loader.dataset) == 0:
         raise ValueError("Empty training dataset after filtering.")
     first = train_loader.dataset.get(0)
-    input_dim = first["emg"].shape[1]
+    if train_from_raw:
+        input_dim = first["emg"].shape[1] * featurize[0].n_mels
+    else:
+        input_dim = first["emg"].shape[1]
 
     # stamp the inferred input dim into the config that gets embedded next to
     # checkpoints: eval re-infers it like the reference, but serving needs a
@@ -582,8 +627,10 @@ def train_from_config(
     if on_device_augment and (spec_cfg is not None or chan_cfg is not None):
         n_mels = cfg.get("features", {}).get("emg", {}).get("n_mels", 80)
         augment = (spec_cfg, chan_cfg, int(n_mels))
-    train_step = make_train_step(model, tx, blank_id, normalize_distill, augment)
-    eval_step = make_eval_step(model, blank_id, normalize_distill)
+    train_step = make_train_step(
+        model, tx, blank_id, normalize_distill, augment, featurize
+    )
+    eval_step = make_eval_step(model, blank_id, normalize_distill, featurize)
     flush_step = make_flush_step(tx) if grad_accum > 1 else None
 
     early = cfg["optim"].get("early_stopping", {}) or {}

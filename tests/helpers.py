@@ -89,11 +89,15 @@ def make_separable_setup(
         d = feats_root / "emg" / split / "s1"
         d.mkdir(parents=True, exist_ok=True)
         np.save(d / f"{i}_0.npy", arr.astype(np.float32))
+        raw_dir = tmp_path / "raw" / split / "s1"
+        raw_dir.mkdir(parents=True, exist_ok=True)
+        raw_path = raw_dir / f"{i}_0_emg.npy"
+        np.save(raw_path, raw)  # original signal: enables data.train_from_raw
         rows.append(dict(
             utterance_id=f"{split}/s1/{i}_0", split=split, subset=subset,
-            speaker="s1", stem=f"{i}_0", emg_path="x", audio_path=None,
-            transcript=text, sentence_index=i, book="", has_audio=True,
-            metadata_json="{}",
+            speaker="s1", stem=f"{i}_0", emg_path=str(raw_path),
+            audio_path=None, transcript=text, sentence_index=i, book="",
+            has_audio=True, metadata_json="{}",
         ))
     index_path = tmp_path / "index.parquet"
     save_index(pd.DataFrame(rows), index_path)
