@@ -17,9 +17,17 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _mark(msg: str) -> None:
+    """Phase timing to stderr (stdout stays the one-JSON-line contract)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 MPS_BASELINE_UTT_PER_SEC = 2.0
 
@@ -369,7 +377,14 @@ def main() -> None:
     warm = threading.Thread(target=warm_decode, args=(jax, jnp), daemon=True)
     warm.start()
 
+    _mark("train bench: compile + measure")
     train_tput, loss, sec_per_step, ctx = bench_train(jax, jnp)
+    _mark(f"train done: {train_tput:.0f} utt/s/chip")
+    # Remote-compiler latency is highly variable on this rig (the SAME train
+    # graph compiled in ~5 min and ~17 min on consecutive runs). The decode
+    # numbers are headline metrics — after train lands, always grant the
+    # remaining phases a grace window instead of a hard wall-clock budget.
+    budget = max(budget, (time.time() - t_start) + 420)
     decode_p50 = None
     decode_p50_exact = None
     lm_decode_p50 = None
@@ -378,23 +393,33 @@ def main() -> None:
     # epoch mode reuses the train executable — host-side cost only
     try:
         epoch_tput, epoch_host = bench_epoch(jax, jnp, ctx)
-    except Exception:
-        pass
+        _mark(f"epoch done: full {epoch_tput:.1f}, host {epoch_host:.1f} utt/s")
+    except Exception as exc:
+        _mark(f"epoch FAILED: {exc!r}")
     remaining = budget - (time.time() - t_start)
     warm.join(timeout=max(remaining - 30, 0))
     if not warm.is_alive() and remaining > 30:
         decode_p50 = bench_decode(jax, jnp)
+        _mark(f"topk decode done: {decode_p50 * 1e3:.1f} ms/utt")
     # LM-fused device search (VERDICT r2 missing #3): its own executable
     if time.time() - t_start < budget - 60:
         try:
+            _mark("lm decode: compile + measure")
             lm_decode_p50 = bench_lm_decode(jax, jnp)
-        except Exception:
-            lm_decode_p50 = None
+            _mark(f"lm decode done: {lm_decode_p50 * 1e3:.1f} ms/utt")
+        except Exception as exc:
+            _mark(f"lm decode FAILED: {exc!r}")
     # exact (all-token-sort) decode path: the eval CLI default; compile+measure
-    # only when budget allows (it is a separate executable)
-    if time.time() - t_start < budget - 120:
+    # only when real slack remains (a separate executable, and the remote
+    # compiler can be slow) or explicitly requested — it is informational
+    # (r2 recorded 4.7 ms; docs/PERF.md)
+    if os.environ.get("SSD_BENCH_EXACT") == "1" or (
+        time.time() - t_start < budget - 300
+    ):
         try:
+            _mark("exact decode: compile + measure")
             decode_p50_exact = bench_decode(jax, jnp, token_top_k=None)
+            _mark(f"exact decode done: {decode_p50_exact * 1e3:.1f} ms/utt")
         except Exception:
             decode_p50_exact = None
 
