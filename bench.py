@@ -381,26 +381,36 @@ def main() -> None:
     train_tput, loss, sec_per_step, ctx = bench_train(jax, jnp)
     _mark(f"train done: {train_tput:.0f} utt/s/chip")
     # Remote-compiler latency is highly variable on this rig (the SAME train
-    # graph compiled in ~5 min and ~17 min on consecutive runs). The decode
-    # numbers are headline metrics — after train lands, always grant the
-    # remaining phases a grace window instead of a hard wall-clock budget.
-    budget = max(budget, (time.time() - t_start) + 420)
+    # graph compiled in ~5 min and ~17 min on consecutive runs). With the
+    # DEFAULT budget, grant the remaining phases a grace window after the
+    # train graph lands; an explicit SSD_BENCH_BUDGET_SEC is a driver-owned
+    # hard cap and is honored as-is (overrunning it could get the process
+    # killed before the JSON line prints).
+    if "SSD_BENCH_BUDGET_SEC" not in os.environ:
+        budget = max(budget, (time.time() - t_start) + 420)
     decode_p50 = None
     decode_p50_exact = None
     lm_decode_p50 = None
     epoch_tput = None
     epoch_host = None
-    # epoch mode reuses the train executable — host-side cost only
-    try:
-        epoch_tput, epoch_host = bench_epoch(jax, jnp, ctx)
-        _mark(f"epoch done: full {epoch_tput:.1f}, host {epoch_host:.1f} utt/s")
-    except Exception as exc:
-        _mark(f"epoch FAILED: {exc!r}")
     remaining = budget - (time.time() - t_start)
     warm.join(timeout=max(remaining - 30, 0))
     if not warm.is_alive() and remaining > 30:
         decode_p50 = bench_decode(jax, jnp)
         _mark(f"topk decode done: {decode_p50 * 1e3:.1f} ms/utt")
+    # epoch mode reuses the train executable — runs AFTER the warm-decode
+    # thread has joined so its compile/execution can't contaminate the
+    # host-timing-sensitive epoch rates
+    if warm.is_alive():
+        warm.join(timeout=300)
+    if warm.is_alive():
+        _mark("epoch skipped: warm-decode compile still running (would skew timing)")
+    else:
+        try:
+            epoch_tput, epoch_host = bench_epoch(jax, jnp, ctx)
+            _mark(f"epoch done: full {epoch_tput:.1f}, host {epoch_host:.1f} utt/s")
+        except Exception as exc:
+            _mark(f"epoch FAILED: {exc!r}")
     # LM-fused device search (VERDICT r2 missing #3): its own executable
     if time.time() - t_start < budget - 60:
         try:

@@ -41,9 +41,21 @@ from ssd_tpu.training.checkpoint import load_checkpoint, load_config_for
 logger = logging.getLogger(__name__)
 
 
-def make_forward(model):
+def make_forward(model, featurize_cfg=None):
+    """Jitted eval forward; ``featurize_cfg`` adds on-device log-mel so raw
+    (samples, channels) batches evaluate (``data.train_from_raw``)."""
+
     @jax.jit
     def forward(params, batch_stats, emg, lengths):
+        if featurize_cfg is not None:
+            from ssd_tpu.ops.featurizer import logmel_batch
+            from ssd_tpu.utils.platform import is_tpu_backend
+
+            feats, lengths, _, _ = logmel_batch(
+                emg, lengths, featurize_cfg, fused=is_tpu_backend()
+            )
+            B, T, C, M = feats.shape
+            emg = feats.reshape(B, T, C * M)
         log_probs, out_lengths, _ = model.apply(
             {"params": params, "batch_stats": batch_stats}, emg, lengths, train=False
         )
@@ -63,10 +75,29 @@ def evaluate_checkpoint(
     index_path: Optional[Path] = None,
     features_root: Optional[Path] = None,
 ) -> Dict[str, Any]:
-    """Run decode over the eval set; returns metrics + records + latencies."""
+    """Run decode over the eval set; returns metrics + records + latencies.
+
+    Checkpoints trained with ``data.train_from_raw`` (no EMG feature cache)
+    evaluate from the raw signals: the loader runs in raw mode and the
+    forward featurizes on device with the config's ``features.emg`` block —
+    the same path the trainer used.
+    """
     data_cfg = cfg["data"]
     index_path = index_path or Path(data_cfg["index"])
     features_root = features_root or Path(data_cfg["features_root"])
+    train_from_raw = bool(data_cfg.get("train_from_raw", False))
+    feat_cfg = None
+    if train_from_raw:
+        from ssd_tpu.ops.featurizer import FeaturizerConfig
+
+        femg = cfg.get("features", {}).get("emg", {}) or {}
+        feat_cfg = FeaturizerConfig(
+            sample_rate=int(femg.get("sample_rate", 1000)),
+            n_fft=int(femg.get("n_fft", 320)),
+            hop_length=int(femg.get("hop_length", 10)),
+            n_mels=int(femg.get("n_mels", 80)),
+            normalize=femg.get("normalize", "per_file"),
+        )
 
     loader = make_dataloader(
         index_path=index_path,
@@ -77,6 +108,8 @@ def evaluate_checkpoint(
         batch_size=batch_size,
         shuffle=False,
         include_teacher=False,
+        raw=train_from_raw,
+        raw_hop_length=(feat_cfg.hop_length if feat_cfg else 10),
     )
     if len(loader) == 0:
         raise ValueError(
@@ -88,13 +121,16 @@ def evaluate_checkpoint(
     enc_cfg = cfg["model"]["encoder"]
     input_dim = enc_cfg.get("input_dim")
     if input_dim is None:
-        input_dim = loader.dataset.get(0)["emg"].shape[1]
+        if train_from_raw:
+            input_dim = loader.dataset.get(0)["emg"].shape[1] * feat_cfg.n_mels
+        else:
+            input_dim = loader.dataset.get(0)["emg"].shape[1]
         enc_cfg["input_dim"] = int(input_dim)
 
     model = build_model(cfg, input_dim=int(input_dim), vocab_size=vocab.size)
     payload = load_checkpoint(ckpt_path)
     params, batch_stats = payload["params"], payload["batch_stats"]
-    forward = make_forward(model)
+    forward = make_forward(model, featurize_cfg=feat_cfg)
 
     refs: List[str] = []
     hyps: List[str] = []

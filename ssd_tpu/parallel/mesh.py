@@ -152,18 +152,36 @@ def multihost_launch_detected(env: dict | None = None) -> bool:
     return False
 
 
+def _distributed_client_active() -> bool:
+    """Whether ``jax.distributed.initialize`` already ran in this process.
+
+    Checked WITHOUT touching ``jax.process_count()``/``jax.devices()``: those
+    initialize the XLA backend, after which ``jax.distributed.initialize``
+    refuses to run — calling them here would turn every real multi-host
+    launch into a silent single-process run.
+    """
+    try:
+        from jax._src import distributed as _dist  # jax has no public probe
+
+        return _dist.global_state.client is not None
+    except Exception:  # pragma: no cover - jax internals moved
+        return False
+
+
 def maybe_initialize_distributed(env: dict | None = None) -> None:
     """Init multi-process JAX when launched under a multi-host runtime.
 
-    Auto-detects standard launchers (see :func:`multihost_launch_detected`);
-    when ``COORDINATOR_ADDRESS`` is set explicitly, ``NUM_PROCESSES`` /
-    ``PROCESS_ID`` are forwarded too. Guarded: failure to initialize logs a
-    warning and continues single-process rather than crashing the trainer.
+    Must run before anything initializes the XLA backend (the train CLI
+    calls it first). Auto-detects standard launchers (see
+    :func:`multihost_launch_detected`); when ``COORDINATOR_ADDRESS`` is set
+    explicitly, ``NUM_PROCESSES`` / ``PROCESS_ID`` are forwarded too.
+    Guarded: failure to initialize logs a warning and continues
+    single-process rather than crashing the trainer.
     """
     import os
 
     env = os.environ if env is None else env
-    if jax.process_count() > 1:  # already initialized by the launcher
+    if _distributed_client_active():  # launcher/caller already initialized
         return
     if not multihost_launch_detected(env):
         return

@@ -252,11 +252,12 @@ def make_handler(batcher: MicroBatcher, engine: InferenceEngine):
                 # Malformed request body (missing fields, bad base64/npy, wrong
                 # types) — the caller's fault.
                 self._reply(400, {"error": str(exc)})
-            except Exception as exc:
+            except Exception:
                 # Anything else (engine/device/compile failures) is server-side:
-                # log it and report 500 so monitoring doesn't blame the client.
+                # log the full exception, but reply generically — XLA/engine
+                # error strings embed paths and shapes callers shouldn't see.
                 logger.exception("Internal error handling %s", self.path)
-                self._reply(500, {"error": f"internal error: {exc}"})
+                self._reply(500, {"error": "internal server error"})
 
     return Handler
 

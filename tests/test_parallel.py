@@ -126,6 +126,11 @@ def test_maybe_initialize_distributed(monkeypatch):
     monkeypatch.setattr(
         meshmod.jax.distributed, "initialize", lambda **kw: calls.append(kw)
     )
+    # an active client (launcher already initialized) short-circuits
+    monkeypatch.setattr(meshmod, "_distributed_client_active", lambda: True)
+    meshmod.maybe_initialize_distributed(env={"COORDINATOR_ADDRESS": "x:1"})
+    assert calls == []
+    monkeypatch.setattr(meshmod, "_distributed_client_active", lambda: False)
     # no launcher markers → no init attempt
     meshmod.maybe_initialize_distributed(env={})
     assert calls == []
@@ -144,3 +149,18 @@ def test_maybe_initialize_distributed(monkeypatch):
     assert calls == [
         {"coordinator_address": "10.0.0.1:9999", "num_processes": 2, "process_id": 1}
     ]
+
+
+def test_maybe_initialize_distributed_survives_backend_already_up(monkeypatch):
+    """jax.distributed.initialize raises when the XLA backend is already
+    initialized; the guard must warn and continue, never crash (and must not
+    itself initialize the backend before calling initialize — review
+    finding: jax.process_count() did exactly that)."""
+    from ssd_tpu.parallel import mesh as meshmod
+
+    def boom(**kw):
+        raise RuntimeError("must be called before any JAX computations")
+
+    monkeypatch.setattr(meshmod, "_distributed_client_active", lambda: False)
+    monkeypatch.setattr(meshmod.jax.distributed, "initialize", boom)
+    meshmod.maybe_initialize_distributed(env={"SLURM_NTASKS": "4"})  # no raise

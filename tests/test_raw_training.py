@@ -127,3 +127,26 @@ def test_train_from_raw_end_to_end(corpus):
         raw = render_sine_emg("cat dog", rng, freqs, phases, noise=0.05)
         hyp = engine.transcribe([raw])[0]
         assert isinstance(hyp, str) and len(hyp) > 0
+
+
+def test_evaluate_checkpoint_on_raw_run(corpus):
+    """Eval CLI path for raw-trained checkpoints: loader in raw mode, forward
+    featurizes on device — no EMG feature cache required (review finding)."""
+    import copy
+
+    from ssd_tpu.evaluation.evaluate import evaluate_checkpoint
+    from ssd_tpu.decoding.ctc import build_decoder
+
+    cfg, vocab, root, texts, _ = corpus
+    cfg = copy.deepcopy(cfg)
+    cfg["data"]["train_from_raw"] = True
+    run_dir = root / "raw_eval_run"
+    train_from_config(cfg, run_dir)
+    out = evaluate_checkpoint(
+        run_dir / "best", cfg, vocab,
+        splits=["voiced_parallel_data"], subsets=["val"],
+        decoder_fn=build_decoder("greedy", vocab), batch_size=4,
+    )
+    m = out["metrics"]
+    assert 0.0 <= m["cer"] <= 0.5  # the separable corpus is learnable
+    assert len(out["records"]) == 4

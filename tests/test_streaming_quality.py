@@ -21,12 +21,9 @@ from .helpers import (
 
 
 def _edit_distance(a: str, b: str) -> int:
-    dp = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        prev, dp[0] = dp[0], i
-        for j, cb in enumerate(b, 1):
-            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
-    return dp[len(b)]
+    from ssd_tpu.evaluation.metrics import _edit_counts
+
+    return _edit_counts(list(b), list(a))["cost"]  # (ref, hyp)
 
 
 @pytest.fixture(scope="module")
