@@ -223,6 +223,7 @@ def collate(
     pad_teacher_to: Optional[int] = None,
     pad_rows_to: Optional[int] = None,
     teacher_dim: Optional[int] = None,
+    teacher_dtype=np.float32,
 ) -> Batch:
     """Right-pad items to bucket-rounded static shapes.
 
@@ -267,7 +268,9 @@ def collate(
             (it["teacher"].shape[1] for it in items if it["teacher"] is not None),
             teacher_dim,
         )
-        teacher = np.zeros((B, Tt, D), np.float32)
+        # bf16 option halves the dominant teacher bytes (host collate copy +
+        # host→device transfer); the distill loss upcasts to fp32 on device
+        teacher = np.zeros((B, Tt, D), teacher_dtype)
         for i, it in enumerate(items):
             if it["teacher"] is not None:
                 teacher[i, : it["teacher"].shape[0]] = it["teacher"]
@@ -319,6 +322,7 @@ class DataLoader:
         drop_last: bool = False,
         bucket_batches: bool = True,
         time_bucket: int = TIME_BUCKET,
+        teacher_dtype=np.float32,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -328,6 +332,7 @@ class DataLoader:
         # time-axis padding granularity: feature frames normally, raw samples
         # (frames × hop) when the dataset is in raw mode
         self.time_bucket = time_bucket
+        self.teacher_dtype = teacher_dtype
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.drop_last = drop_last
@@ -408,6 +413,7 @@ class DataLoader:
                     spec_augment_cfg=self.spec_augment_cfg if self.shuffle else None,
                     rng=rng,
                     time_bucket=self.time_bucket,
+                    teacher_dtype=self.teacher_dtype,
                     **pad_kwargs,
                 )
             else:
@@ -416,7 +422,8 @@ class DataLoader:
                 donor = self.dataset.get(global_batch[0])
                 batch = collate(
                     [donor], self.dataset.vocab,
-                    time_bucket=self.time_bucket, **pad_kwargs,
+                    time_bucket=self.time_bucket,
+                    teacher_dtype=self.teacher_dtype, **pad_kwargs,
                 )
                 batch.emg[:] = 0.0
                 batch.emg_lengths[:] = 0
@@ -474,6 +481,7 @@ def make_dataloader(
     shard_index: int = 0,
     raw: bool = False,
     raw_hop_length: int = 10,
+    teacher_dtype=np.float32,
 ) -> DataLoader:
     """Reference-surface factory (``dataset.py:220-259``).
 
@@ -509,4 +517,5 @@ def make_dataloader(
         shard_index=shard_index,
         # same frame granularity as feature mode, expressed in samples
         time_bucket=TIME_BUCKET * raw_hop_length if raw else TIME_BUCKET,
+        teacher_dtype=teacher_dtype,
     )

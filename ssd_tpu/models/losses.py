@@ -68,6 +68,9 @@ def distillation_mse(
     """Masked MSE between student frames and time-aligned teacher frames."""
     B, t_s, d = student.shape
     t_t = teacher.shape[1]
+    # loaders may transfer the teacher in bf16 (data.teacher_dtype); the
+    # interpolation + MSE always run in fp32
+    teacher = teacher.astype(jnp.float32)
 
     aligned = interpolate_linear(teacher, t_s)
     if teacher_lengths is not None and t_t != t_s and t_t > 0:

@@ -493,6 +493,18 @@ def train_from_config(
         logger.info("Overfitting on %d batches (~%d items)", overfit_batches, train_limit)
 
     seed = cfg["logging"].get("seed", 42)
+    # data.teacher_dtype: bfloat16 halves the teacher's host-copy/transfer
+    # bytes (the dominant mover once EMG is raw); the distill loss upcasts
+    teacher_dtype_name = str(cfg["data"].get("teacher_dtype", "float32"))
+    if teacher_dtype_name == "bfloat16":
+        import ml_dtypes
+
+        teacher_dtype = ml_dtypes.bfloat16
+    elif teacher_dtype_name == "float32":
+        teacher_dtype = np.float32
+    else:
+        raise ValueError(f"data.teacher_dtype must be float32|bfloat16, got {teacher_dtype_name}")
+
     common = dict(
         index_path=Path(cfg["data"]["index"]),
         features_root=Path(cfg["data"]["features_root"]),
@@ -501,6 +513,7 @@ def train_from_config(
         strict=teacher_strict,
         raw=train_from_raw,
         raw_hop_length=(featurize[0].hop_length if featurize else 10),
+        teacher_dtype=teacher_dtype,
     )
     train_loader = make_dataloader(
         splits=cfg["data"]["train_splits"],

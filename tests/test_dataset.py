@@ -189,3 +189,38 @@ def test_channel_dropout():
         np.ones((5, 2, 4), np.float32), ChannelDropoutConfig(p=1.0, max_channels=5), rng
     )
     assert sum(np.all(out2[:, c] == 0) for c in range(2)) <= 1
+
+
+def test_teacher_bf16_transfer_option(tmp_path):
+    """data.teacher_dtype=bfloat16: loader yields bf16 teacher arrays and the
+    distill loss (which upcasts on device) stays within bf16 rounding."""
+    import ml_dtypes
+    import jax.numpy as jnp
+
+    from ssd_tpu.models.losses import distillation_mse
+
+    from .helpers import make_tiny_setup
+
+    cfg, vocab, root = make_tiny_setup(tmp_path)
+    kw = dict(batch_size=2, shuffle=False, include_teacher=True)
+    fp32_loader = make_dataloader(
+        cfg["data"]["index"], cfg["data"]["features_root"],
+        ["voiced_parallel_data"], ["train"], vocab, **kw)
+    bf16_loader = make_dataloader(
+        cfg["data"]["index"], cfg["data"]["features_root"],
+        ["voiced_parallel_data"], ["train"], vocab,
+        teacher_dtype=ml_dtypes.bfloat16, **kw)
+    b32 = next(iter(fp32_loader))
+    b16 = next(iter(bf16_loader))
+    assert b16.teacher.dtype == ml_dtypes.bfloat16
+    assert b32.teacher.dtype == np.float32
+    assert b16.teacher.nbytes * 2 == b32.teacher.nbytes
+
+    rng = np.random.default_rng(0)
+    student = jnp.asarray(rng.normal(size=(2, b32.teacher.shape[1], 12)).astype(np.float32))
+    lengths = jnp.asarray([b32.teacher.shape[1]] * 2, np.int32)
+    want = distillation_mse(student, lengths, jnp.asarray(b32.teacher),
+                            jnp.asarray(b32.teacher_lengths))
+    got = distillation_mse(student, lengths, jnp.asarray(b16.teacher),
+                           jnp.asarray(b16.teacher_lengths))
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-2)
