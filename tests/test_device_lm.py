@@ -173,3 +173,25 @@ def test_token_top_k_random_logits_close(lm, table):
         lp, lengths, VOCAB, table, token_top_k=24, **kwargs
     )
     assert fast == exact
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_device_matches_host_randomized_soak(lm, table, seed):
+    """Differential soak: random logits, random knob draws, exact equality
+    vs the host oracle (the fused search's full contract surface)."""
+    rng = np.random.default_rng(100 + seed)
+    B = int(rng.integers(1, 4))
+    T = int(rng.integers(8, 28))
+    lp = _softmax_logits(rng, B, T, scale=float(rng.uniform(0.5, 2.5)))
+    lengths = rng.integers(max(T - 6, 1), T + 1, size=B).astype(np.int32)
+    kwargs = dict(
+        beam_width=int(rng.choice([8, 16, 24])),
+        alpha=float(rng.uniform(0.0, 1.2)),
+        beta=float(rng.uniform(-0.2, 0.3)),
+        beam_prune_logp=float(rng.choice([-10.0, -6.0, -1e9])),
+        token_min_logp=float(rng.choice([-5.0, -8.0, -1e9])),
+        blank_bias=float(rng.uniform(-0.3, 0.3)),
+    )
+    want = beam_search_lm_batch(lp, lengths, VOCAB, lm, **kwargs)
+    got = beam_decode_lm_device(lp, lengths, VOCAB, table, **kwargs)
+    assert got == want, kwargs

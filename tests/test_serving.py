@@ -186,3 +186,37 @@ def test_http_error_code_mapping():
         assert ei.value.code == 500
     finally:
         server.shutdown()
+
+
+def test_micro_batcher_concurrent_load(ckpt):
+    """16 concurrent clients through the micro-batcher: every request gets
+    the same answer it would get alone, and requests actually batch."""
+    from ssd_tpu.serving import engine as engmod
+    from ssd_tpu.serving.server import MicroBatcher
+
+    cfg, run_dir = ckpt
+    engine = engmod.InferenceEngine.from_checkpoint(run_dir / "best")
+    rng = np.random.default_rng(7)
+    emgs = [rng.normal(size=(200 + 10 * i, 2)).astype(np.float32) for i in range(4)]
+    want = {i: engine.transcribe([emgs[i]])[0] for i in range(4)}
+
+    batcher = MicroBatcher(engine, max_batch=8, max_wait_ms=20.0)
+    results = {}
+    errors = []
+
+    def client(i):
+        try:
+            results[i] = batcher.submit(emgs[i % 4])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    batcher.shutdown()
+    assert not errors
+    assert len(results) == 16
+    for i, hyp in results.items():
+        assert hyp == want[i % 4], (i, hyp, want[i % 4])
