@@ -85,12 +85,22 @@ class InferenceEngine:
         alpha: Optional[float] = None,
         beta: Optional[float] = None,
         featurizer_cfg: Optional[FeaturizerConfig] = None,
+        data_parallel: bool = False,
     ) -> None:
         self.cfg = cfg
         self.vocab = vocab
         self.decoder = decoder
         self.beam_width = beam_width
         self.blank_bias = blank_bias
+        # data-parallel serving: shard request batches over every local
+        # device (1-D `data` mesh); XLA runs the pipeline SPMD and the
+        # decode jits inherit the sharding from their inputs
+        self.mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from jax.sharding import Mesh
+
+            self.mesh = Mesh(np.asarray(jax.devices()), ("data",))
+            logger.info("Data-parallel serving over %d devices", self.mesh.size)
         # fast-path preselection: constructor arg > config decoding block >
         # default 16 (exact when ≤k tokens pass admission; eval CLI exposes
         # the same knob via --token-top-k / decoding.token_top_k)
@@ -217,6 +227,8 @@ class InferenceEngine:
         lengths = np.asarray([len(a) for a in emg_arrays], np.int32)
         L_pad = _round_up(int(lengths.max()), SAMPLE_BUCKET)
         B_pad = next((b for b in BATCH_BUCKETS if b >= n), _round_up(n, BATCH_BUCKETS[-1]))
+        if self.mesh is not None:
+            B_pad = _round_up(B_pad, self.mesh.size)  # batch axis must shard
         C = emg_arrays[0].shape[1]
         batch = np.zeros((B_pad, L_pad, C), np.float32)
         for i, a in enumerate(emg_arrays):
@@ -224,9 +236,17 @@ class InferenceEngine:
         pad_lengths = np.concatenate(
             [lengths, np.full((B_pad - n,), self.feat_cfg.n_fft, np.int32)]
         )
-        log_probs, out_lengths = self._pipeline(
-            jnp.asarray(batch), jnp.asarray(pad_lengths)
-        )
+        dev_batch, dev_lengths = jnp.asarray(batch), jnp.asarray(pad_lengths)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dev_batch = jax.device_put(
+                batch, NamedSharding(self.mesh, P("data", None, None))
+            )
+            dev_lengths = jax.device_put(
+                pad_lengths, NamedSharding(self.mesh, P("data"))
+            )
+        log_probs, out_lengths = self._pipeline(dev_batch, dev_lengths)
         hyps = self._decode(log_probs, out_lengths)[:n]
         per_utt = (time.perf_counter() - t0) / n
         for _ in range(n):

@@ -273,10 +273,11 @@ def serve(
     lm_path: Path | None = None,
     alpha: float | None = None,
     beta: float | None = None,
+    data_parallel: bool = False,
 ) -> ThreadingHTTPServer:
     engine = InferenceEngine.from_checkpoint(
         checkpoint, decoder=decoder, beam_width=beam_width,
-        lm_path=lm_path, alpha=alpha, beta=beta,
+        lm_path=lm_path, alpha=alpha, beta=beta, data_parallel=data_parallel,
     )
     if warmup:
         logger.info("Warming compile cache…")
@@ -304,6 +305,10 @@ def main() -> None:
     # weights), then to 0.5/0.0 — mirrors the eval CLI's precedence
     p.add_argument("--alpha", type=float, default=None)
     p.add_argument("--beta", type=float, default=None)
+    p.add_argument(
+        "--data-parallel", action="store_true",
+        help="Shard request batches over every local device (SPMD serving).",
+    )
     args = p.parse_args()
     server = serve(
         args.checkpoint,
@@ -316,6 +321,7 @@ def main() -> None:
         lm_path=args.lm_path,
         alpha=args.alpha,
         beta=args.beta,
+        data_parallel=args.data_parallel,
     )
     server.serve_forever()
 

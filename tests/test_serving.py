@@ -220,3 +220,23 @@ def test_micro_batcher_concurrent_load(ckpt):
     assert len(results) == 16
     for i, hyp in results.items():
         assert hyp == want[i % 4], (i, hyp, want[i % 4])
+
+
+def test_data_parallel_serving_matches_single_device(ckpt):
+    """data_parallel=True shards request batches over the 8-device virtual
+    mesh; hypotheses match the single-device engine exactly."""
+    import jax
+
+    from ssd_tpu.serving import engine as engmod
+
+    assert len(jax.devices()) == 8  # conftest forces the virtual mesh
+    cfg, run_dir = ckpt
+    single = engmod.InferenceEngine.from_checkpoint(run_dir / "best")
+    dp = engmod.InferenceEngine.from_checkpoint(run_dir / "best", data_parallel=True)
+    assert dp.mesh is not None and dp.mesh.size == 8
+
+    rng = np.random.default_rng(9)
+    emgs = [rng.normal(size=(180 + 30 * i, 2)).astype(np.float32) for i in range(5)]
+    want = single.transcribe(emgs)
+    got = dp.transcribe(emgs)
+    assert got == want
