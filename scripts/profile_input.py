@@ -10,7 +10,9 @@ Builds a synthetic feature cache at flagship shapes (768 frames × 8 ch × 80
 mels float32 ≈ 1.9 MB/utt), then times `prefetch(loader)` + `batch_to_arrays`
 + `pad_batch_to_multiple` exactly as `run_train_epoch` consumes them.
 
-Usage: python scripts/profile_input.py [n_utts]
+Usage: python scripts/profile_input.py [n_utts] [--bf16]
+  --bf16: collate EMG + teacher buffers in bfloat16 (data.emg_dtype /
+  data.teacher_dtype options) — halves the copied bytes.
 """
 
 from __future__ import annotations
@@ -30,7 +32,9 @@ from ssd_tpu.data.vocab import default_vocab
 from ssd_tpu.parallel.mesh import pad_batch_to_multiple
 from ssd_tpu.training.train import batch_to_arrays
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+N = int(_args[0]) if _args else 256
+BF16 = "--bf16" in sys.argv
 B = 32
 
 
@@ -62,10 +66,18 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmp:
         root = Path(tmp)
         idx = build_cache(root, N)
+        dtype_kw = {}
+        if BF16:
+            import ml_dtypes
+
+            dtype_kw = dict(
+                emg_dtype=ml_dtypes.bfloat16, teacher_dtype=ml_dtypes.bfloat16
+            )
         loader = make_dataloader(
             idx, root / "features", ["voiced_parallel_data"], ["train"],
             default_vocab(), batch_size=B,
             spec_augment_cfg=SpecAugmentConfig(),  # reference augment on
+            **dtype_kw,
         )
         # warm one epoch (page cache + bucket shapes)
         for batch in prefetch(loader):

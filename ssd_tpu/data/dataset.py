@@ -224,6 +224,7 @@ def collate(
     pad_rows_to: Optional[int] = None,
     teacher_dim: Optional[int] = None,
     teacher_dtype=np.float32,
+    emg_dtype=np.float32,
 ) -> Batch:
     """Right-pad items to bucket-rounded static shapes.
 
@@ -241,7 +242,10 @@ def collate(
     F = items[0]["emg"].shape[1]
     B = max(len(items), pad_rows_to or 0)
 
-    emg = np.zeros((B, T, F), np.float32)
+    # bf16 option halves the feature bytes (the dominant host copy/transfer);
+    # only sound when the encoder computes in bf16 anyway (make_dataloader
+    # gates it) — the z-normed features lose nothing the first cast wouldn't
+    emg = np.zeros((B, T, F), emg_dtype)
     tokens = np.full((B, S), vocab.pad_id, np.int32)
     for i, it in enumerate(items):
         x = it["emg"]
@@ -323,6 +327,7 @@ class DataLoader:
         bucket_batches: bool = True,
         time_bucket: int = TIME_BUCKET,
         teacher_dtype=np.float32,
+        emg_dtype=np.float32,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -333,6 +338,7 @@ class DataLoader:
         # (frames × hop) when the dataset is in raw mode
         self.time_bucket = time_bucket
         self.teacher_dtype = teacher_dtype
+        self.emg_dtype = emg_dtype
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.drop_last = drop_last
@@ -414,6 +420,7 @@ class DataLoader:
                     rng=rng,
                     time_bucket=self.time_bucket,
                     teacher_dtype=self.teacher_dtype,
+                    emg_dtype=self.emg_dtype,
                     **pad_kwargs,
                 )
             else:
@@ -423,7 +430,8 @@ class DataLoader:
                 batch = collate(
                     [donor], self.dataset.vocab,
                     time_bucket=self.time_bucket,
-                    teacher_dtype=self.teacher_dtype, **pad_kwargs,
+                    teacher_dtype=self.teacher_dtype,
+                    emg_dtype=self.emg_dtype, **pad_kwargs,
                 )
                 batch.emg[:] = 0.0
                 batch.emg_lengths[:] = 0
@@ -482,6 +490,7 @@ def make_dataloader(
     raw: bool = False,
     raw_hop_length: int = 10,
     teacher_dtype=np.float32,
+    emg_dtype=np.float32,
 ) -> DataLoader:
     """Reference-surface factory (``dataset.py:220-259``).
 
@@ -494,6 +503,11 @@ def make_dataloader(
         raise ValueError(
             "raw mode featurizes on device; host augmentation configs must be "
             "moved on device (augmentation.on_device: true)"
+        )
+    if raw and emg_dtype != np.float32:
+        raise ValueError(
+            "emg_dtype applies to cached features only: the on-device "
+            "featurizer needs float32 raw samples for librosa parity"
         )
     dataset = EMGFeatureDataset(
         index_path=index_path,
@@ -518,4 +532,5 @@ def make_dataloader(
         # same frame granularity as feature mode, expressed in samples
         time_bucket=TIME_BUCKET * raw_hop_length if raw else TIME_BUCKET,
         teacher_dtype=teacher_dtype,
+        emg_dtype=emg_dtype,
     )

@@ -493,17 +493,28 @@ def train_from_config(
         logger.info("Overfitting on %d batches (~%d items)", overfit_batches, train_limit)
 
     seed = cfg["logging"].get("seed", 42)
-    # data.teacher_dtype: bfloat16 halves the teacher's host-copy/transfer
-    # bytes (the dominant mover once EMG is raw); the distill loss upcasts
-    teacher_dtype_name = str(cfg["data"].get("teacher_dtype", "float32"))
-    if teacher_dtype_name == "bfloat16":
-        import ml_dtypes
+    # data.teacher_dtype / data.emg_dtype: bfloat16 halves the host-copy and
+    # host→device bytes of the respective arrays. Teacher: the distill loss
+    # upcasts to fp32. EMG features: only sound when the encoder computes in
+    # bf16 anyway (the first op would cast identically); rejected otherwise.
+    def _transfer_dtype(key: str):
+        name = str(cfg["data"].get(key, "float32"))
+        if name == "bfloat16":
+            import ml_dtypes
 
-        teacher_dtype = ml_dtypes.bfloat16
-    elif teacher_dtype_name == "float32":
-        teacher_dtype = np.float32
-    else:
-        raise ValueError(f"data.teacher_dtype must be float32|bfloat16, got {teacher_dtype_name}")
+            return ml_dtypes.bfloat16
+        if name == "float32":
+            return np.float32
+        raise ValueError(f"data.{key} must be float32|bfloat16, got {name}")
+
+    teacher_dtype = _transfer_dtype("teacher_dtype")
+    emg_dtype = _transfer_dtype("emg_dtype")
+    if emg_dtype != np.float32:
+        if cfg["model"]["encoder"].get("compute_dtype", "float32") != "bfloat16":
+            raise ValueError(
+                "data.emg_dtype: bfloat16 requires model.encoder.compute_dtype: "
+                "bfloat16 (otherwise it silently changes training numerics)"
+            )
 
     common = dict(
         index_path=Path(cfg["data"]["index"]),
@@ -514,6 +525,7 @@ def train_from_config(
         raw=train_from_raw,
         raw_hop_length=(featurize[0].hop_length if featurize else 10),
         teacher_dtype=teacher_dtype,
+        emg_dtype=emg_dtype,
     )
     train_loader = make_dataloader(
         splits=cfg["data"]["train_splits"],

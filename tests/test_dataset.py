@@ -224,3 +224,56 @@ def test_teacher_bf16_transfer_option(tmp_path):
     got = distillation_mse(student, lengths, jnp.asarray(b16.teacher),
                            jnp.asarray(b16.teacher_lengths))
     np.testing.assert_allclose(float(got), float(want), rtol=2e-2)
+
+
+def test_emg_bf16_transfer_option(tmp_path):
+    """data.emg_dtype=bfloat16 (valid only with a bf16-compute encoder):
+    loader yields bf16 features, losses match fp32 transfer within bf16
+    rounding (the encoder's first op casts to bf16 either way)."""
+    import ml_dtypes
+    import jax
+    import jax.numpy as jnp
+
+    from ssd_tpu.models.ssd_model import build_model
+    from ssd_tpu.training.schedules import build_optimizer
+    from ssd_tpu.training.train import batch_to_arrays, init_state, make_eval_step
+
+    from .helpers import make_tiny_setup
+
+    cfg, vocab, root = make_tiny_setup(tmp_path)
+    cfg["model"]["encoder"]["compute_dtype"] = "bfloat16"
+    input_dim = 16
+    model = build_model(cfg, input_dim=input_dim, vocab_size=vocab.size)
+    tx, _ = build_optimizer({"optim": {"lr": 1e-3, "weight_decay": 0.0,
+                                       "clip_grad_norm": 5.0, "grad_accum": 1}}, 10)
+    state = init_state(model, tx, input_dim, jax.random.PRNGKey(0))
+    eval_step = make_eval_step(model, vocab.blank_id, False)
+    lambdas = jnp.asarray([0.6, 0.4], jnp.float32)
+
+    kw = dict(batch_size=2, shuffle=False, include_teacher=True)
+    f32 = next(iter(make_dataloader(
+        cfg["data"]["index"], cfg["data"]["features_root"],
+        ["voiced_parallel_data"], ["train"], vocab, **kw)))
+    bf16 = next(iter(make_dataloader(
+        cfg["data"]["index"], cfg["data"]["features_root"],
+        ["voiced_parallel_data"], ["train"], vocab,
+        emg_dtype=ml_dtypes.bfloat16, **kw)))
+    assert bf16.emg.dtype == ml_dtypes.bfloat16
+    want = eval_step(state, batch_to_arrays(f32, include_teacher=True), lambdas)
+    got = eval_step(state, batch_to_arrays(bf16, include_teacher=True), lambdas)
+    np.testing.assert_allclose(float(got["total"]), float(want["total"]), rtol=2e-2)
+
+
+def test_emg_bf16_rejected_in_raw_mode(tmp_path):
+    import ml_dtypes
+    import pytest
+
+    from .helpers import make_tiny_setup
+
+    cfg, vocab, root = make_tiny_setup(tmp_path)
+    with pytest.raises(ValueError, match="cached features only"):
+        make_dataloader(
+            cfg["data"]["index"], cfg["data"]["features_root"],
+            ["voiced_parallel_data"], ["train"], vocab, batch_size=2,
+            raw=True, emg_dtype=ml_dtypes.bfloat16,
+        )

@@ -109,3 +109,14 @@ def test_preemption_saves_resumable_checkpoint(tiny_setup, monkeypatch):
     assert resumed["preempted"] is False
     assert resumed["epochs"] == 3  # re-ran epoch 1 (label rolled back) → 3
     assert (run_dir / "best").exists()
+
+
+def test_emg_dtype_requires_bf16_compute(tmp_path):
+    """data.emg_dtype: bfloat16 without a bf16-compute encoder must be
+    rejected up front (it would silently change training numerics)."""
+    from .helpers import make_tiny_setup
+
+    cfg, vocab, root = make_tiny_setup(tmp_path)
+    cfg["data"]["emg_dtype"] = "bfloat16"  # encoder compute_dtype is fp32
+    with pytest.raises(ValueError, match="compute_dtype"):
+        train_from_config(cfg, root / "run", dry_run=True)
