@@ -32,9 +32,14 @@ from ssd_tpu.data.vocab import default_vocab
 from ssd_tpu.parallel.mesh import pad_batch_to_multiple
 from ssd_tpu.training.train import batch_to_arrays
 
-_args = [a for a in sys.argv[1:] if not a.startswith("-")]
-N = int(_args[0]) if _args else 256
-BF16 = "--bf16" in sys.argv
+import argparse
+
+_parser = argparse.ArgumentParser(description=__doc__)
+_parser.add_argument("n_utts", type=int, nargs="?", default=256)
+_parser.add_argument("--bf16", action="store_true")
+_cli = _parser.parse_args()
+N = _cli.n_utts
+BF16 = _cli.bf16
 B = 32
 
 

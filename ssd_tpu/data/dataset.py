@@ -243,8 +243,9 @@ def collate(
     B = max(len(items), pad_rows_to or 0)
 
     # bf16 option halves the feature bytes (the dominant host copy/transfer);
-    # only sound when the encoder computes in bf16 anyway (make_dataloader
-    # gates it) — the z-normed features lose nothing the first cast wouldn't
+    # only sound when the consumer computes in bf16 anyway — train_from_config
+    # enforces that (train.py rejects emg_dtype=bf16 with an fp32 encoder);
+    # direct loader callers opting in take on that responsibility
     emg = np.zeros((B, T, F), emg_dtype)
     tokens = np.full((B, S), vocab.pad_id, np.int32)
     for i, it in enumerate(items):

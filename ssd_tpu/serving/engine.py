@@ -93,14 +93,20 @@ class InferenceEngine:
         self.beam_width = beam_width
         self.blank_bias = blank_bias
         # data-parallel serving: shard request batches over every local
-        # device (1-D `data` mesh); XLA runs the pipeline SPMD and the
-        # decode jits inherit the sharding from their inputs
+        # device (the shared (data, model=1) mesh); XLA runs the pipeline
+        # SPMD and the decode jits inherit the sharding from their inputs
         self.mesh = None
-        if data_parallel and len(jax.devices()) > 1:
-            from jax.sharding import Mesh
+        if data_parallel:
+            if len(jax.devices()) > 1:
+                from ssd_tpu.parallel.mesh import make_mesh
 
-            self.mesh = Mesh(np.asarray(jax.devices()), ("data",))
-            logger.info("Data-parallel serving over %d devices", self.mesh.size)
+                self.mesh = make_mesh()
+                logger.info("Data-parallel serving over %d devices", self.mesh.size)
+            else:
+                logger.warning(
+                    "data_parallel requested but only 1 device is visible — "
+                    "serving single-device"
+                )
         # fast-path preselection: constructor arg > config decoding block >
         # default 16 (exact when ≤k tokens pass admission; eval CLI exposes
         # the same knob via --token-top-k / decoding.token_top_k)
@@ -160,8 +166,14 @@ class InferenceEngine:
     # ----------------------------------------------------------- pipeline
     def _pipeline_impl(self, emg: jnp.ndarray, sample_lengths: jnp.ndarray):
         """(B, L, C) raw EMG → (log_probs, out_lengths)."""
+        # fused Pallas featurizer on a single chip; under data-parallel
+        # serving the batch arrives SHARDED and pallas_call has no GSPMD
+        # partitioning rule, so DP uses the XLA featurizer (which GSPMD
+        # partitions cleanly) — the featurizer is a small share of the
+        # pipeline next to the encoder
         feats, frame_lengths, _, _ = logmel_batch(
-            emg, sample_lengths, self.feat_cfg, fused=is_tpu_backend()
+            emg, sample_lengths, self.feat_cfg,
+            fused=is_tpu_backend() and self.mesh is None,
         )
         B, T, C, M = feats.shape
         flat = feats.reshape(B, T, C * M)
@@ -236,16 +248,14 @@ class InferenceEngine:
         pad_lengths = np.concatenate(
             [lengths, np.full((B_pad - n,), self.feat_cfg.n_fft, np.int32)]
         )
-        dev_batch, dev_lengths = jnp.asarray(batch), jnp.asarray(pad_lengths)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ssd_tpu.parallel.mesh import batch_sharding
 
-            dev_batch = jax.device_put(
-                batch, NamedSharding(self.mesh, P("data", None, None))
-            )
-            dev_lengths = jax.device_put(
-                pad_lengths, NamedSharding(self.mesh, P("data"))
-            )
+            sharding = batch_sharding(self.mesh)  # leading-axis P("data")
+            dev_batch = jax.device_put(batch, sharding)
+            dev_lengths = jax.device_put(pad_lengths, sharding)
+        else:
+            dev_batch, dev_lengths = jnp.asarray(batch), jnp.asarray(pad_lengths)
         log_probs, out_lengths = self._pipeline(dev_batch, dev_lengths)
         hyps = self._decode(log_probs, out_lengths)[:n]
         per_utt = (time.perf_counter() - t0) / n
