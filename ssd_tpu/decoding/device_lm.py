@@ -52,14 +52,23 @@ _UNK_H = (np.uint32(0xFFFF1234), np.uint32(0xFFFF5678))
 _BOS_H = (np.uint32(0xFFFFB050), np.uint32(0xFFFFB051))
 _EOS_H = (np.uint32(0xFFFFE050), np.uint32(0xFFFFE051))
 
-_PROBES = 4  # static linear-probe length; table grows until all entries fit
-# (4, not 8: at ≤50% load linear probing rarely needs >2 slots, the packer
-# grows the table when it does, and probe count is gather volume on device)
+# Bucketized open addressing: each hash maps to ONE bucket of `_BUCKET`
+# contiguous slots, fetched as a single 128-byte row. The device lookup cost
+# is offset-count-bound (measured: per-probe linear addressing at 4 probes ≈
+# 4× the gather offsets for the same hit rate), so a key costs exactly one
+# gather offset. The packer keeps load ≤ 1 entry/bucket on average and grows
+# the table when any bucket overflows (Poisson tail: ~once per ~10⁵ buckets
+# at λ=1, i.e. at most one doubling in practice).
+_BUCKET = 8  # slots per bucket
 
 
 @dataclass(frozen=True)
 class DeviceLMTable:
-    """Hashed n-gram table as flat arrays (host numpy; moved to device once)."""
+    """Hashed n-gram table as flat arrays (host numpy; moved to device once).
+
+    Flat slot ``j`` lives in bucket ``j // _BUCKET``; ``size`` is the total
+    slot count (``nbuckets · _BUCKET``, nbuckets a power of two).
+    """
 
     keys1: np.ndarray  # (size,) uint32
     keys2: np.ndarray  # (size,) uint32
@@ -105,10 +114,11 @@ def pack_lm(lm: NGramLM, vocab: Vocab) -> DeviceLMTable:
         bo = lm.backoff.get(ngram, 0.0)
         entries.append((np.uint32(k1), np.uint32(k2), np.float32(lp), np.float32(bo)))
 
-    size = 1
-    while size < 2 * max(len(entries), 1):
-        size *= 2
+    nbuckets = 1
+    while nbuckets < max(len(entries), 1):  # load factor ≤ 1 entry/bucket
+        nbuckets *= 2
     while True:
+        size = nbuckets * _BUCKET
         keys1 = np.zeros((size,), np.uint32)
         keys2 = np.zeros((size,), np.uint32)
         used = np.zeros((size,), bool)
@@ -117,9 +127,9 @@ def pack_lm(lm: NGramLM, vocab: Vocab) -> DeviceLMTable:
         ok = True
         for k1, k2, lp, bo in entries:
             with np.errstate(over="ignore"):
-                idx = int((k1 ^ np.uint32(k2 * _PHI)) & np.uint32(size - 1))
-            for p in range(_PROBES):
-                j = (idx + p) % size
+                bidx = int((k1 ^ np.uint32(k2 * _PHI)) & np.uint32(nbuckets - 1))
+            for p in range(_BUCKET):
+                j = bidx * _BUCKET + p
                 if not used[j]:
                     keys1[j], keys2[j], used[j] = k1, k2, True
                     lp_t[j], bo_t[j] = lp, bo
@@ -127,14 +137,14 @@ def pack_lm(lm: NGramLM, vocab: Vocab) -> DeviceLMTable:
                 if keys1[j] == k1 and keys2[j] == k2:
                     break  # duplicate n-gram (hash collision in source): keep first
             else:
-                ok = False
+                ok = False  # bucket overflow: double the bucket count
                 break
         if ok:
             return DeviceLMTable(
                 keys1=keys1, keys2=keys2, used=used, logprob=lp_t, backoff=bo_t,
                 order=lm.order, size=size,
             )
-        size *= 2
+        nbuckets *= 2
 
 
 # --------------------------------------------------------------------------
@@ -145,51 +155,55 @@ _EMPTY_SENTINEL = np.uint32(0xFFFFFFFF)  # key pair of unused slots
 
 
 def _packed_device_table(table: DeviceLMTable):
-    """((size, 4) uint32 rows ``[k1, k2, lp_bits, bo_bits]``, size), cached.
+    """((nbuckets, _BUCKET·4) uint32 bucket rows, nbuckets), cached.
 
-    One fused row per slot ⇒ a probe batch is ONE gather (keys and float32
-    values bit-cast into the same uint32 row). Unused slots get a sentinel
-    key pair — it never equals a real key (same ~2⁻⁶⁴ collision class as the
-    two-stream hashes themselves), which removes the separate ``used``
-    check. Cached on the (frozen) table instance so repeated decode calls
-    reuse the device copy.
+    Each bucket row holds its ``_BUCKET`` slots slot-major as
+    ``[k1, k2, lp_bits, bo_bits] × _BUCKET`` (float32 values bit-cast into
+    the uint32 row), so ONE gather offset fetches a key's entire probe set
+    as one contiguous 128-byte row — the lookup cost on device is
+    offset-count-bound, not byte-bound (docs/PERF.md "Fused LM search").
+    Unused slots get a sentinel key pair — it never equals a real key (same
+    ~2⁻⁶⁴ collision class as the two-stream hashes themselves), which
+    removes the separate ``used`` check. Cached on the (frozen) table
+    instance so repeated decode calls reuse the device copy.
     """
     cached = getattr(table, "_packed_device", None)
     if cached is not None:
         return cached
-    rows = np.empty((table.size, 4), np.uint32)
-    rows[:, 0] = table.keys1
-    rows[:, 1] = table.keys2
-    rows[~table.used, :2] = _EMPTY_SENTINEL
-    rows[:, 2] = table.logprob.astype(np.float32).view(np.uint32)
-    rows[:, 3] = table.backoff.astype(np.float32).view(np.uint32)
-    packed = (jnp.asarray(rows), table.size)
+    slots = np.empty((table.size, 4), np.uint32)
+    slots[:, 0] = table.keys1
+    slots[:, 1] = table.keys2
+    slots[~table.used, :2] = _EMPTY_SENTINEL
+    slots[:, 2] = table.logprob.astype(np.float32).view(np.uint32)
+    slots[:, 3] = table.backoff.astype(np.float32).view(np.uint32)
+    nbuckets = table.size // _BUCKET
+    packed = (jnp.asarray(slots.reshape(nbuckets, _BUCKET * 4)), nbuckets)
     object.__setattr__(table, "_packed_device", packed)
     return packed
 
 
 def _lookup(table, k1, k2):
-    """Open-addressing probe over a trailing lookup axis.
+    """Bucketized hash probe over a trailing lookup axis.
 
     ``k1/k2``: (..., L) uint32 key pairs. Returns ``(hit, logprob, backoff)``
-    each (..., L). ALL probe slots of ALL keys are fetched with ONE gather of
-    fused (..., L, P, 4) rows — the original one-gather-per-probe-per-key
-    formulation cost ~80 serial gathers per scan step and dominated the
-    fused search (60 ms/utt → see docs/PERF.md "Fused LM search"). Empty
-    slots hold a sentinel key pair that never matches.
+    each (..., L). ALL keys' buckets are fetched with ONE gather of
+    (..., L, _BUCKET·4) rows — one offset per key. (History: the original
+    one-gather-per-probe-per-key formulation cost ~80 serial gathers per
+    scan step; fusing to per-probe rows cut that to 2 gathers; bucketizing
+    cuts the OFFSET count another 4× — see docs/PERF.md "Fused LM search".)
+    Empty slots hold a sentinel key pair that never matches.
     """
-    rows_t, size = table  # (size, 4) uint32
-    mask = jnp.uint32(size - 1)
-    idx0 = (k1 ^ (k2 * jnp.uint32(_PHI))) & mask  # (..., L)
-    idx = (idx0[..., None] + jnp.arange(_PROBES, dtype=jnp.uint32)) & mask
-    rows = rows_t[idx]  # (..., L, P, 4) — the single gather
-    hit_p = (rows[..., 0] == k1[..., None]) & (rows[..., 1] == k2[..., None])
-    first = jnp.argmax(hit_p, axis=-1)[..., None]  # first matching probe
+    rows_t, nbuckets = table  # (nbuckets, _BUCKET·4) uint32
+    bidx = (k1 ^ (k2 * jnp.uint32(_PHI))) & jnp.uint32(nbuckets - 1)  # (..., L)
+    rows = rows_t[bidx]  # (..., L, _BUCKET·4) — the single gather
+    slots = rows.reshape(rows.shape[:-1] + (_BUCKET, 4))
+    hit_p = (slots[..., 0] == k1[..., None]) & (slots[..., 1] == k2[..., None])
+    first = jnp.argmax(hit_p, axis=-1)[..., None]  # first matching slot
     lp = jax.lax.bitcast_convert_type(
-        jnp.take_along_axis(rows[..., 2], first, axis=-1)[..., 0], jnp.float32
+        jnp.take_along_axis(slots[..., 2], first, axis=-1)[..., 0], jnp.float32
     )
     bo = jax.lax.bitcast_convert_type(
-        jnp.take_along_axis(rows[..., 3], first, axis=-1)[..., 0], jnp.float32
+        jnp.take_along_axis(slots[..., 3], first, axis=-1)[..., 0], jnp.float32
     )
     found = jnp.any(hit_p, axis=-1)
     zero = jnp.zeros_like(lp)
@@ -394,6 +408,7 @@ def _beam_search_lm_jit(
         delta = jnp.where(
             partial_live, alpha * LN10 * score10 + beta, 0.0
         )  # (B, K)
+        lm_sp = lm + delta  # fused lm IF this beam's next char is a space
 
         # ---- stay candidates (prefix unchanged)
         stay_pb = p_tot + lp_blank
@@ -412,101 +427,115 @@ def _beam_search_lm_jit(
         vv = ext_ids.astype(jnp.uint32) + jnp.uint32(1)  # (B, E)
         ext_h1 = h1[:, :, None] * _W1 + vv[:, None, :]
         ext_h2 = h2[:, :, None] * _W2 + vv[:, None, :]
-
-        is_space_ext = (ext_ids == space_id)[:, None, :]  # (B, 1, E)
-        completes = is_space_ext & partial_live[:, :, None]  # (B, K, E)
-        ext_lm = lm[:, :, None] + jnp.where(completes, delta[:, :, None], 0.0)
-
-        # partial-word hash: space resets, chars roll
-        ext_pw1 = jnp.where(
-            is_space_ext, jnp.uint32(0), pw1[:, :, None] * _W1 + vv[:, None, :]
-        )
-        ext_pw2 = jnp.where(
-            is_space_ext, jnp.uint32(0), pw2[:, :, None] * _W2 + vv[:, None, :]
-        )
-        ext_nw = nw[:, :, None] + completes.astype(jnp.int32)
-
-        # word-context hashes shift only when a word completes
-        if O > 0:
-            new_cx1 = jnp.concatenate(
-                [pw1[:, :, None], cx1[:, :, :-1] * _S1 + pw1[:, :, None]], axis=2
-            )  # (B, K, O)
-            new_cx2 = jnp.concatenate(
-                [pw2[:, :, None], cx2[:, :, :-1] * _S2 + pw2[:, :, None]], axis=2
-            )
-        else:  # unigram LM: no word context to carry
-            new_cx1, new_cx2 = cx1, cx2
-        ext_cx1 = jnp.where(
-            completes[:, :, :, None], new_cx1[:, :, None, :], cx1[:, :, None, :]
-        )  # (B, K, E, O)
-        ext_cx2 = jnp.where(
-            completes[:, :, :, None], new_cx2[:, :, None, :], cx2[:, :, None, :]
-        )
-
         ext_char = jnp.broadcast_to(ext_ids[:, None, :], (B, K, E))
 
         # ---- flatten candidates [stay K | ext K·E]
+        #
+        # Only what the dedup-merge and ranking actually consume rides the
+        # C-wide sort — and it rides as VARIADIC SORT OPERANDS, not post-sort
+        # gathers: XLA's TPU sort permutes payload operands in place
+        # (vectorized sorting network), whereas ``take_along_axis`` through a
+        # sorted-iota permutation lowers to random-access gathers that cost
+        # several times the sort itself at these shapes. The candidate ``lm``
+        # is an elementwise select between the parent's ``lm``/``lm_sp``
+        # (computed BEFORE flattening — no E-indexed gather), so ranking
+        # needs no lookups after the sort. Every other beam attribute (pw,
+        # nw, last, the (·, O) word-context hashes) is a pure function of
+        # (parent, char) and is RECONSTRUCTED after top-k at width K — C/K ≈
+        # 17× narrower. The original formulation carried ~11 columns plus two
+        # (B, C, O) context arrays through the sort and materialized
+        # (B, K, E, O) extension contexts every frame; that payload, not the
+        # table lookups, dominated the fused search (docs/PERF.md "Fused LM
+        # search").
+        is_space_ext = (ext_ids == space_id)[:, None, :]  # (B, 1, E)
+        ext_lm = jnp.broadcast_to(
+            jnp.where(is_space_ext, lm_sp[:, :, None], lm[:, :, None]), (B, K, E)
+        )
+
         def flat2(stay, ext):
             return jnp.concatenate([stay, ext.reshape(B, K * E)], axis=1)
 
-        cand = dict(
-            pb=flat2(stay_pb, jnp.full((B, K, E), NEG_INF)),
-            pnb=flat2(stay_pnb, ext_pnb),
-            h1=flat2(h1, ext_h1),
-            h2=flat2(h2, ext_h2),
-            lm=flat2(lm, ext_lm),
-            pw1=flat2(pw1, ext_pw1),
-            pw2=flat2(pw2, ext_pw2),
-            nw=flat2(nw, ext_nw),
-            last=flat2(last, ext_char),
-            char=flat2(jnp.full((B, K), -1, jnp.int32), ext_char),
-            parent=flat2(
-                jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K)),
-                jnp.broadcast_to(
-                    jnp.repeat(jnp.arange(K, dtype=jnp.int32), E)[None], (B, K * E)
-                ).reshape(B, K, E),
-            ),
-        )
-        cand_cx1 = jnp.concatenate(
-            [cx1, ext_cx1.reshape(B, K * E, O)], axis=1
-        )  # (B, C, O)
-        cand_cx2 = jnp.concatenate([cx2, ext_cx2.reshape(B, K * E, O)], axis=1)
-
-        # ---- dedup: sort by prefix hash, get permutation, gather everything
-        iota = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], (B, C))
-        _, _, perm = jax.lax.sort(
-            (cand["h1"], cand["h2"], iota), dimension=1, num_keys=2
+        beam_iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K))
+        cand_pb = flat2(stay_pb, jnp.full((B, K, E), NEG_INF))
+        cand_pnb = flat2(stay_pnb, ext_pnb)
+        cand_h1 = flat2(h1, ext_h1)
+        cand_h2 = flat2(h2, ext_h2)
+        cand_lm = flat2(lm, ext_lm)
+        cand_char = flat2(jnp.full((B, K), -1, jnp.int32), ext_char)
+        cand_parent = flat2(
+            beam_iota,
+            jnp.broadcast_to(
+                jnp.repeat(jnp.arange(K, dtype=jnp.int32), E)[None], (B, K * E)
+            ).reshape(B, K, E),
         )
 
-        def pick(x):
-            return jnp.take_along_axis(x, perm, axis=1)
-
-        s = {k: pick(v) for k, v in cand.items()}
-        s_cx1 = jnp.take_along_axis(cand_cx1, perm[:, :, None], axis=1)
-        s_cx2 = jnp.take_along_axis(cand_cx2, perm[:, :, None], axis=1)
+        # ---- dedup: one variadic lex-sort by the hash pair
+        (s_h1, s_h2, s_pb, s_pnb, s_lm, s_char, s_parent) = jax.lax.sort(
+            (cand_h1, cand_h2, cand_pb, cand_pnb, cand_lm, cand_char, cand_parent),
+            dimension=1,
+            num_keys=2,
+        )
 
         new_seg = jnp.concatenate(
             [
                 jnp.ones((B, 1), bool),
-                (s["h1"][:, 1:] != s["h1"][:, :-1])
-                | (s["h2"][:, 1:] != s["h2"][:, :-1]),
+                (s_h1[:, 1:] != s_h1[:, :-1]) | (s_h2[:, 1:] != s_h2[:, :-1]),
             ],
             axis=1,
         )
-        m_pb = _segmented_logsumexp(s["pb"], new_seg)
-        m_pnb = _segmented_logsumexp(s["pnb"], new_seg)
+        m_pb = _segmented_logsumexp(s_pb, new_seg)
+        m_pnb = _segmented_logsumexp(s_pnb, new_seg)
         run_last = jnp.concatenate([new_seg[:, 1:], jnp.ones((B, 1), bool)], axis=1)
-        score = jnp.where(run_last, fused(m_pb, m_pnb, s["lm"]), NEG_INF)
+        score = jnp.where(run_last, fused(m_pb, m_pnb, s_lm), NEG_INF)
 
         top_score, top_idx = jax.lax.top_k(score, K)
 
         def pick_top(x):
             return jnp.take_along_axis(x, top_idx, axis=1)
 
-        n = {k: pick_top(v) for k, v in s.items()}
         n_pb, n_pnb = pick_top(m_pb), pick_top(m_pnb)
-        n_cx1 = jnp.take_along_axis(s_cx1, top_idx[:, :, None], axis=1)
-        n_cx2 = jnp.take_along_axis(s_cx2, top_idx[:, :, None], axis=1)
+        n_h1, n_h2 = pick_top(s_h1), pick_top(s_h2)
+        n_char, n_parent = pick_top(s_char), pick_top(s_parent)
+        n_lm = pick_top(s_lm)
+
+        # ---- reconstruct the winners' beam state from (parent, char) —
+        # every gather here is (B, K[, O]); duplicates within a merged
+        # segment carry different (parent, char) pairs but identical
+        # prefixes, so any member reconstructs the same state (the same
+        # invariant the merge itself relies on)
+        def from_parent(a):
+            return jnp.take_along_axis(a, n_parent, axis=1)
+
+        p_pw1, p_pw2 = from_parent(pw1), from_parent(pw2)
+        p_nw, p_last = from_parent(nw), from_parent(last)
+        is_ext = n_char >= 0
+        is_sp = is_ext & (n_char == space_id)
+        completes = is_sp & ((p_pw1 != 0) | (p_pw2 != 0))
+        v_n = n_char.astype(jnp.uint32) + jnp.uint32(1)  # masked by is_ext
+        n_last = jnp.where(is_ext, n_char, p_last)
+        n_pw1 = jnp.where(
+            is_ext, jnp.where(is_sp, jnp.uint32(0), p_pw1 * _W1 + v_n), p_pw1
+        )
+        n_pw2 = jnp.where(
+            is_ext, jnp.where(is_sp, jnp.uint32(0), p_pw2 * _W2 + v_n), p_pw2
+        )
+        n_nw = p_nw + completes.astype(jnp.int32)
+        if O > 0:
+            p_cx1 = jnp.take_along_axis(cx1, n_parent[:, :, None], axis=1)
+            p_cx2 = jnp.take_along_axis(cx2, n_parent[:, :, None], axis=1)
+            # word-context hashes shift only when a word completes
+            shift_cx1 = jnp.concatenate(
+                [p_pw1[:, :, None], p_cx1[:, :, :-1] * _S1 + p_pw1[:, :, None]],
+                axis=2,
+            )  # (B, K, O)
+            shift_cx2 = jnp.concatenate(
+                [p_pw2[:, :, None], p_cx2[:, :, :-1] * _S2 + p_pw2[:, :, None]],
+                axis=2,
+            )
+            n_cx1 = jnp.where(completes[:, :, None], shift_cx1, p_cx1)
+            n_cx2 = jnp.where(completes[:, :, None], shift_cx2, p_cx2)
+        else:  # unigram LM: no word context to carry
+            n_cx1, n_cx2 = cx1, cx2
 
         best = top_score[:, :1]
         dead = top_score < best + beam_prune_logp
@@ -524,21 +553,18 @@ def _beam_search_lm_jit(
         out = dict(
             p_b=keep(n_pb, pb),
             p_nb=keep(n_pnb, pnb),
-            h1=keep(n["h1"], h1),
-            h2=keep(n["h2"], h2),
-            last=keep(n["last"], last),
-            lm=keep(n["lm"], lm),
-            pw1=keep(n["pw1"], pw1),
-            pw2=keep(n["pw2"], pw2),
-            nw=keep(n["nw"], nw),
+            h1=keep(n_h1, h1),
+            h2=keep(n_h2, h2),
+            last=keep(n_last, last),
+            lm=keep(n_lm, lm),
+            pw1=keep(n_pw1, pw1),
+            pw2=keep(n_pw2, pw2),
+            nw=keep(n_nw, nw),
             cx1=keep3(n_cx1, cx1),
             cx2=keep3(n_cx2, cx2),
         )
-        bp_parent = jnp.where(
-            active, n["parent"],
-            jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K)),
-        )
-        bp_char = jnp.where(active, n["char"], jnp.full((B, K), -1, jnp.int32))
+        bp_parent = jnp.where(active, n_parent, beam_iota)
+        bp_char = jnp.where(active, n_char, jnp.full((B, K), -1, jnp.int32))
         return out, (bp_char, bp_parent)
 
     final, (chars, parents) = jax.lax.scan(

@@ -59,15 +59,18 @@ def _softmax_logits(rng, B, T, peaked_text=None, scale=1.5):
 
 def test_table_lookup_roundtrip(lm, table):
     """Every packed n-gram is recoverable through the device hash scheme."""
-    import jax
+    from ssd_tpu.decoding.device_lm import _BUCKET
 
-    keys1 = jnp.asarray(table.keys1)
+    nbuckets = table.size // _BUCKET
     for ngram, lp in list(lm.logprob.items())[:200]:
         k1, k2 = _seq_hash([_word_hash(w, VOCAB) for w in ngram])
-        idx = int((np.uint32(k1) ^ np.uint32(np.uint32(k2) * np.uint32(0x9E3779B9))) & np.uint32(table.size - 1))
+        bidx = int(
+            (np.uint32(k1) ^ np.uint32(np.uint32(k2) * np.uint32(0x9E3779B9)))
+            & np.uint32(nbuckets - 1)
+        )
         found = False
-        for p in range(8):
-            j = (idx + p) % table.size
+        for p in range(_BUCKET):
+            j = bidx * _BUCKET + p
             if table.used[j] and table.keys1[j] == k1 and table.keys2[j] == k2:
                 assert np.isclose(table.logprob[j], lp, atol=1e-6)
                 found = True
