@@ -211,6 +211,14 @@ def _parse_args() -> argparse.Namespace:
         "The serving/bench production path uses 16.",
     )
     p.add_argument(
+        "--quantize",
+        choices=["none", "int8"],
+        help="Inference-time dense quantization (ops/quant.py): int8 serves "
+        "any float checkpoint W8A8 on the FFN/pointwise matmuls — same "
+        "param tree. Default: the checkpoint config's encoder.quantize. "
+        "Measured SLOWER than bf16 at the flagship's shapes (docs/PERF.md).",
+    )
+    p.add_argument(
         "--lm-backend",
         choices=["device", "host"],
         default="device",
@@ -229,6 +237,8 @@ def main() -> None:
         apply_device_choice(args.device)
     ckpt_path = args.checkpoint
     cfg = load_config_for(ckpt_path)
+    if args.quantize is not None:
+        cfg["model"]["encoder"]["quantize"] = args.quantize
     data_cfg = cfg["data"]
 
     splits = args.splits or data_cfg.get("val_splits", ["voiced_parallel_data"])

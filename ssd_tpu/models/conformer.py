@@ -53,6 +53,10 @@ class EncoderConfig:
     # lax: nn.Conv grouped conv. pallas: VMEM stencil (ops/depthwise_conv.py)
     # — same params/checkpoints.
     depthwise_impl: str = "lax"  # lax | pallas
+    # none: dense matmuls in compute_dtype. int8: INFERENCE-ONLY dynamic
+    # W8A8 on the FFN / conv-pointwise Dense layers (ops/quant.py) — same
+    # params/checkpoints, ~2× MXU rate on v5e; training always runs float.
+    quantize: str = "none"  # none | int8
 
     @property
     def dtype(self):
@@ -104,19 +108,35 @@ class Conv1dSubsampler(nn.Module):
         return x
 
 
+def _dense_dot_general(quantize: str, train: bool):
+    """Dense ``dot_general`` override: int8 W8A8 at inference, else default.
+
+    Quantized TRAINING is deliberately not supported (no QAT here): with
+    ``quantize: int8`` the forward quantizes only when ``train=False``, so
+    a float-trained checkpoint serves quantized with the same param tree.
+    """
+    if quantize == "int8" and not train:
+        from ssd_tpu.ops.quant import int8_dot_general
+
+        return int8_dot_general
+    return None  # flax default (lax.dot_general)
+
+
 class _FeedForward(nn.Module):
     d_model: int
     ffn_dim: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        dg = _dense_dot_general(self.quantize, train)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
-        x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="w1")(x)
+        x = nn.Dense(self.ffn_dim, dtype=self.dtype, dot_general=dg, name="w1")(x)
         x = nn.silu(x)
         x = FastDropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.d_model, dtype=self.dtype, name="w2")(x)
+        x = nn.Dense(self.d_model, dtype=self.dtype, dot_general=dg, name="w2")(x)
         return FastDropout(self.dropout, deterministic=not train)(x)
 
 
@@ -173,11 +193,13 @@ class _ConvModule(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     depthwise_impl: str = "lax"  # lax | pallas (same param tree)
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        dg = _dense_dot_general(self.quantize, train)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
-        x = nn.Dense(2 * self.d_model, dtype=self.dtype, name="pw1")(x)
+        x = nn.Dense(2 * self.d_model, dtype=self.dtype, dot_general=dg, name="pw1")(x)
         a, b = jnp.split(x, 2, axis=-1)
         x = a * nn.sigmoid(b)  # GLU
         # zero padded frames so the depthwise conv sees the same zeros a
@@ -207,7 +229,7 @@ class _ConvModule(nn.Module):
         else:
             x = nn.LayerNorm(dtype=jnp.float32, name="cn")(x)
         x = nn.silu(x)
-        x = nn.Dense(self.d_model, dtype=self.dtype, name="pw2")(x)
+        x = nn.Dense(self.d_model, dtype=self.dtype, dot_general=dg, name="pw2")(x)
         return FastDropout(self.dropout, deterministic=not train)(x)
 
 
@@ -247,15 +269,19 @@ class ConformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         c = self.cfg
-        x = x + 0.5 * _FeedForward(c.d_model, c.ffn_dim, c.dropout, c.dtype, name="ffn1")(x, train)
+        x = x + 0.5 * _FeedForward(
+            c.d_model, c.ffn_dim, c.dropout, c.dtype, c.quantize, name="ffn1"
+        )(x, train)
         x = x + _SelfAttention(
             c.d_model, c.num_heads, c.dropout, c.dtype, c.attention_impl, name="attn"
         )(x, pad_mask, train)
         x = x + _ConvModule(
             c.d_model, c.depthwise_conv_kernel_size, c.dropout, c.conv_norm, c.dtype,
-            c.depthwise_impl, name="conv",
+            c.depthwise_impl, c.quantize, name="conv",
         )(x, pad_mask, train)
-        x = x + 0.5 * _FeedForward(c.d_model, c.ffn_dim, c.dropout, c.dtype, name="ffn2")(x, train)
+        x = x + 0.5 * _FeedForward(
+            c.d_model, c.ffn_dim, c.dropout, c.dtype, c.quantize, name="ffn2"
+        )(x, train)
         return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
 
 

@@ -62,7 +62,13 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         remat=enc.get("remat", False),
         attention_impl=enc.get("attention_impl", "flax"),
         depthwise_impl=enc.get("depthwise_impl", "lax"),
+        quantize=enc.get("quantize", "none"),
     )
+    if encoder_cfg.quantize not in ("none", "int8"):
+        raise ValueError(
+            f"model.encoder.quantize must be 'none' or 'int8', "
+            f"got {encoder_cfg.quantize!r}"
+        )
     return SSDModel(
         encoder_cfg=encoder_cfg,
         projection_dim=cfg["model"]["projection_dim"],

@@ -86,7 +86,15 @@ class InferenceEngine:
         beta: Optional[float] = None,
         featurizer_cfg: Optional[FeaturizerConfig] = None,
         data_parallel: bool = False,
+        quantize: Optional[str] = None,
     ) -> None:
+        # inference-time quantization override (serving CLI --quantize):
+        # any float checkpoint can be served int8 — same param tree
+        if quantize is not None:
+            import copy
+
+            cfg = copy.deepcopy(cfg)
+            cfg["model"]["encoder"]["quantize"] = quantize
         self.cfg = cfg
         self.vocab = vocab
         self.decoder = decoder

@@ -274,10 +274,12 @@ def serve(
     alpha: float | None = None,
     beta: float | None = None,
     data_parallel: bool = False,
+    quantize: str | None = None,
 ) -> ThreadingHTTPServer:
     engine = InferenceEngine.from_checkpoint(
         checkpoint, decoder=decoder, beam_width=beam_width,
         lm_path=lm_path, alpha=alpha, beta=beta, data_parallel=data_parallel,
+        quantize=quantize,
     )
     if warmup:
         logger.info("Warming compile cache…")
@@ -309,6 +311,13 @@ def main() -> None:
         "--data-parallel", action="store_true",
         help="Shard request batches over every local device (SPMD serving).",
     )
+    p.add_argument(
+        "--quantize", choices=["none", "int8"], default=None,
+        help="Inference-time dense quantization: int8 serves any float "
+        "checkpoint W8A8 on the FFN/pointwise matmuls. Pays off only when "
+        "dense FLOPs dominate; measured SLOWER than bf16 at the flagship's "
+        "shapes (docs/PERF.md).",
+    )
     args = p.parse_args()
     server = serve(
         args.checkpoint,
@@ -322,6 +331,7 @@ def main() -> None:
         alpha=args.alpha,
         beta=args.beta,
         data_parallel=args.data_parallel,
+        quantize=args.quantize,
     )
     server.serve_forever()
 
