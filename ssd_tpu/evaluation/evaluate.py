@@ -211,6 +211,11 @@ def _parse_args() -> argparse.Namespace:
         "The serving/bench production path uses 16.",
     )
     p.add_argument(
+        "--compile-cache", type=Path, default=None,
+        help="Persistent XLA compilation cache dir (default: env "
+        "SSD_COMPILE_CACHE).",
+    )
+    p.add_argument(
         "--quantize",
         choices=["none", "int8"],
         help="Inference-time dense quantization (ops/quant.py): int8 serves "
@@ -235,6 +240,9 @@ def main() -> None:
     args = _parse_args()
     if args.device:
         apply_device_choice(args.device)
+    from ssd_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache(str(args.compile_cache) if args.compile_cache else None)
     ckpt_path = args.checkpoint
     cfg = load_config_for(ckpt_path)
     if args.quantize is not None:

@@ -275,7 +275,13 @@ def serve(
     beta: float | None = None,
     data_parallel: bool = False,
     quantize: str | None = None,
+    compile_cache: Path | None = None,
 ) -> ThreadingHTTPServer:
+    from ssd_tpu.utils.platform import enable_compile_cache
+
+    # server restarts replay every pipeline/decode compile from the cache —
+    # cold-start is checkpoint-load + cache reads instead of remote compiles
+    enable_compile_cache(str(compile_cache) if compile_cache else None)
     engine = InferenceEngine.from_checkpoint(
         checkpoint, decoder=decoder, beam_width=beam_width,
         lm_path=lm_path, alpha=alpha, beta=beta, data_parallel=data_parallel,
@@ -312,6 +318,11 @@ def main() -> None:
         help="Shard request batches over every local device (SPMD serving).",
     )
     p.add_argument(
+        "--compile-cache", type=Path, default=None,
+        help="Persistent XLA compilation cache dir (default: env "
+        "SSD_COMPILE_CACHE) — server restarts skip warmup recompiles.",
+    )
+    p.add_argument(
         "--quantize", choices=["none", "int8"], default=None,
         help="Inference-time dense quantization: int8 serves any float "
         "checkpoint W8A8 on the FFN/pointwise matmuls. Pays off only when "
@@ -332,6 +343,7 @@ def main() -> None:
         beta=args.beta,
         data_parallel=args.data_parallel,
         quantize=args.quantize,
+        compile_cache=args.compile_cache,
     )
     server.serve_forever()
 

@@ -802,6 +802,12 @@ def _parse_args() -> argparse.Namespace:
         type=Path,
         help="Capture a jax.profiler trace of the first epoch into this dir.",
     )
+    p.add_argument(
+        "--compile-cache",
+        type=Path,
+        help="Persistent XLA compilation cache dir (default: env "
+        "SSD_COMPILE_CACHE) — preemption restarts skip recompiles.",
+    )
     return p.parse_args()
 
 
@@ -814,6 +820,9 @@ def main() -> None:
     from ssd_tpu.utils.config import load_config
 
     maybe_initialize_distributed()
+    from ssd_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache(str(args.compile_cache) if args.compile_cache else None)
 
     cfg = load_config(args.config)
     run_name = cfg["logging"].get("run_name", "run")

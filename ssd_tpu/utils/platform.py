@@ -29,3 +29,28 @@ def is_tpu_backend() -> bool:
 def pallas_interpret() -> bool:
     """Pallas ``interpret=`` flag: Mosaic on TPU, interpret everywhere else."""
     return not is_tpu_backend()
+
+
+def enable_compile_cache(cache_dir: "str | None" = None) -> "str | None":
+    """Persistent XLA compilation cache — production cold-start control.
+
+    Remote-compiler latency dominates cold starts on TPU pods and on this
+    rig (20–240 s per graph, measured); a persistent cache makes trainer
+    restarts (preemption recovery), eval re-runs, and server restarts reuse
+    every previously compiled executable. Enabled when ``cache_dir`` or the
+    ``SSD_COMPILE_CACHE`` env var is set; returns the active path or None.
+
+    The min-compile-time floor is dropped to 0 so the small decode/collate
+    jits are cached too — a serving restart should hit for every graph, not
+    just the encoder.
+    """
+    import os
+    from pathlib import Path
+
+    path = cache_dir or os.environ.get("SSD_COMPILE_CACHE")
+    if not path:
+        return None
+    Path(path).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return str(path)
