@@ -329,6 +329,7 @@ class DataLoader:
         time_bucket: int = TIME_BUCKET,
         teacher_dtype=np.float32,
         emg_dtype=np.float32,
+        num_workers: int = 0,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -344,6 +345,14 @@ class DataLoader:
         self.shard_index = shard_index
         self.drop_last = drop_last
         self.bucket_batches = bucket_batches
+        # item-load + collate worker processes (the torch DataLoader
+        # num_workers analog, reference dataset.py:251-259). Spawn context:
+        # the parent holds jax/XLA threads (fork-unsafe); workers import only
+        # this (jax-free) module. Batches arrive IN ORDER and bit-identical
+        # to num_workers=0 — augmentation RNG is derived per batch, not drawn
+        # from one sequential stream.
+        self.num_workers = int(num_workers)
+        self._pool = None
         self.epoch = 0
 
         indices = list(range(len(dataset)))
@@ -398,52 +407,134 @@ class DataLoader:
                 kwargs["teacher_dim"] = ds.teacher_dim()
         return kwargs
 
+    def _batch_rng(self, epoch: int, batch_idx: int) -> np.random.Generator:
+        """Per-batch augmentation RNG.
+
+        Derived from (seed, epoch, batch index) rather than drawn from one
+        sequential per-epoch stream, so batch construction is
+        order-independent: worker processes reproduce the serial loader
+        bit-exactly, and a batch's augmentation does not depend on how many
+        RNG draws earlier batches consumed.
+        """
+        return np.random.default_rng((self.seed, epoch, batch_idx))
+
+    def _build_batch(self, epoch: int, batch_idx: int, global_batch: List[int]) -> Batch:
+        """Materialize this shard's padded batch for one global batch."""
+        rng = self._batch_rng(epoch, batch_idx) if self.shuffle else None
+        if self.num_shards == 1:
+            batch_indices = global_batch
+            pad_kwargs: Dict = {}
+        else:
+            lo = self.shard_index * self.batch_size
+            batch_indices = global_batch[lo : lo + self.batch_size]
+            pad_kwargs = self._shard_pad_kwargs(global_batch)
+        if batch_indices:
+            items = [self.dataset.get(i, rng) for i in batch_indices]
+            return collate(
+                items,
+                self.dataset.vocab,
+                spec_augment_cfg=self.spec_augment_cfg if self.shuffle else None,
+                rng=rng,
+                time_bucket=self.time_bucket,
+                teacher_dtype=self.teacher_dtype,
+                emg_dtype=self.emg_dtype,
+                **pad_kwargs,
+            )
+        # a tiny final global batch can leave this shard empty; all
+        # processes must still step — emit an all-padding batch
+        donor = self.dataset.get(global_batch[0])
+        batch = collate(
+            [donor], self.dataset.vocab,
+            time_bucket=self.time_bucket,
+            teacher_dtype=self.teacher_dtype,
+            emg_dtype=self.emg_dtype, **pad_kwargs,
+        )
+        batch.emg[:] = 0.0
+        batch.emg_lengths[:] = 0
+        batch.tokens[:] = self.dataset.vocab.pad_id
+        batch.token_lengths[:] = 0
+        if batch.teacher is not None:
+            batch.teacher[:] = 0.0
+            batch.teacher_lengths[:] = 0
+        batch.utterance_ids = []
+        batch.transcripts = []
+        return batch
+
+    # --------------------------------------------------- worker processes
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_pool"] = None  # pools don't pickle; workers never nest pools
+        return d
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_worker_init, initargs=(self,)
+            )
+        return self._pool
+
+    def close(self) -> None:
+        """Terminate worker processes (idempotent; also runs at GC)."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _iter_workers(self, epoch: int, batches: List[List[int]]) -> Iterator[Batch]:
+        """Ordered worker-pool iteration with bounded lookahead.
+
+        At most ``num_workers + 2`` batches are in flight so worker results
+        (full padded arrays) cannot accumulate unboundedly while the device
+        step drains them in order.
+        """
+        from collections import deque
+
+        pool = self._ensure_pool()
+        pending: "deque" = deque()
+        tasks = iter([(epoch, bi, gb) for bi, gb in enumerate(batches)])
+        for task in tasks:
+            pending.append(pool.apply_async(_worker_build, (task,)))
+            if len(pending) < self.num_workers + 2:
+                continue
+            yield pending.popleft().get()
+        while pending:
+            yield pending.popleft().get()
+
     def __iter__(self) -> Iterator[Batch]:
-        rng = np.random.default_rng((self.seed, self.epoch))
+        epoch = self.epoch
         self.epoch += 1
-        for global_batch in self._epoch_batches(rng):
-            if self.num_shards == 1:
-                batch_indices = global_batch
-                pad_kwargs: Dict = {}
-            else:
-                lo = self.shard_index * self.batch_size
-                batch_indices = global_batch[lo : lo + self.batch_size]
-                pad_kwargs = self._shard_pad_kwargs(global_batch)
-            if batch_indices:
-                items = [
-                    self.dataset.get(i, rng if self.shuffle else None)
-                    for i in batch_indices
-                ]
-                yield collate(
-                    items,
-                    self.dataset.vocab,
-                    spec_augment_cfg=self.spec_augment_cfg if self.shuffle else None,
-                    rng=rng,
-                    time_bucket=self.time_bucket,
-                    teacher_dtype=self.teacher_dtype,
-                    emg_dtype=self.emg_dtype,
-                    **pad_kwargs,
-                )
-            else:
-                # a tiny final global batch can leave this shard empty; all
-                # processes must still step — emit an all-padding batch
-                donor = self.dataset.get(global_batch[0])
-                batch = collate(
-                    [donor], self.dataset.vocab,
-                    time_bucket=self.time_bucket,
-                    teacher_dtype=self.teacher_dtype,
-                    emg_dtype=self.emg_dtype, **pad_kwargs,
-                )
-                batch.emg[:] = 0.0
-                batch.emg_lengths[:] = 0
-                batch.tokens[:] = self.dataset.vocab.pad_id
-                batch.token_lengths[:] = 0
-                if batch.teacher is not None:
-                    batch.teacher[:] = 0.0
-                    batch.teacher_lengths[:] = 0
-                batch.utterance_ids = []
-                batch.transcripts = []
-                yield batch
+        rng = np.random.default_rng((self.seed, epoch))
+        batches = self._epoch_batches(rng)
+        if self.num_workers > 0:
+            yield from self._iter_workers(epoch, batches)
+            return
+        for bi, global_batch in enumerate(batches):
+            yield self._build_batch(epoch, bi, global_batch)
+
+
+# worker-process state: one DataLoader clone per worker (spawn context — the
+# pickled clone carries the dataset/table state but no pool); tasks are
+# (epoch, batch_idx, global_batch) and return fully collated batches
+_WORKER_LOADER: Optional["DataLoader"] = None
+
+
+def _worker_init(loader: "DataLoader") -> None:
+    global _WORKER_LOADER
+    _WORKER_LOADER = loader
+
+
+def _worker_build(task) -> Batch:
+    epoch, batch_idx, global_batch = task
+    return _WORKER_LOADER._build_batch(epoch, batch_idx, global_batch)
 
 
 def prefetch(loader: DataLoader, size: int = 2) -> Iterator[Batch]:
@@ -492,6 +583,7 @@ def make_dataloader(
     raw_hop_length: int = 10,
     teacher_dtype=np.float32,
     emg_dtype=np.float32,
+    num_workers: int = 0,
 ) -> DataLoader:
     """Reference-surface factory (``dataset.py:220-259``).
 
@@ -534,4 +626,5 @@ def make_dataloader(
         time_bucket=TIME_BUCKET * raw_hop_length if raw else TIME_BUCKET,
         teacher_dtype=teacher_dtype,
         emg_dtype=emg_dtype,
+        num_workers=num_workers,
     )

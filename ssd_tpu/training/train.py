@@ -526,6 +526,14 @@ def train_from_config(
         raw_hop_length=(featurize[0].hop_length if featurize else 10),
         teacher_dtype=teacher_dtype,
         emg_dtype=emg_dtype,
+        # Collate worker processes (the torch DataLoader num_workers
+        # analog, reference train.py:396). Reference key: optim.num_workers;
+        # data.num_workers overrides. 0 = in-process + prefetch thread.
+        # Batches are bit-identical either way (per-batch derived
+        # augmentation RNG).
+        num_workers=int(
+            cfg["data"].get("num_workers", cfg["optim"].get("num_workers", 0))
+        ),
     )
     train_loader = make_dataloader(
         splits=cfg["data"]["train_splits"],
@@ -775,6 +783,8 @@ def train_from_config(
                 )
                 break
 
+    train_loader.close()  # reap data.num_workers processes promptly
+    val_loader.close()
     return {
         "best_epoch": best_epoch,
         "best_val": best_val,

@@ -264,6 +264,87 @@ def test_emg_bf16_transfer_option(tmp_path):
     np.testing.assert_allclose(float(got["total"]), float(want["total"]), rtol=2e-2)
 
 
+def _collect_epoch(loader):
+    out = []
+    for b in loader:
+        out.append(
+            (
+                b.emg.copy(),
+                b.emg_lengths.copy(),
+                b.tokens.copy(),
+                b.token_lengths.copy(),
+                list(b.utterance_ids),
+            )
+        )
+    return out
+
+
+def test_num_workers_bit_identical(cache):
+    """Worker-process loading (optim.num_workers analog, reference
+    train.py:396) must reproduce the in-process loader bit-exactly —
+    including shuffling and augmentation — because the augmentation RNG is
+    derived per (seed, epoch, batch), not drawn from one sequential stream."""
+    index_path, feats_root = cache
+    kw = dict(
+        splits=["voiced_parallel_data", "silent_parallel_data"],
+        subsets=None,
+        vocab=default_vocab(),
+        batch_size=2,
+        shuffle=True,
+        include_teacher=False,
+        seed=11,
+        spec_augment_cfg=SpecAugmentConfig(
+            p=1.0, time_masks=2, time_mask_width=0.1, freq_masks=1, freq_mask_width=8
+        ),
+        channel_dropout_cfg=ChannelDropoutConfig(p=0.5, max_channels=2),
+    )
+    serial = make_dataloader(index_path, feats_root, **kw)
+    workers = make_dataloader(index_path, feats_root, num_workers=2, **kw)
+    try:
+        for _ in range(2):  # two epochs: epoch-dependent shuffle + RNG both covered
+            a = _collect_epoch(serial)
+            b = _collect_epoch(workers)
+            assert len(a) == len(b)
+            for (ae, al, at, atl, aid), (be, bl, bt, btl, bid) in zip(a, b):
+                assert aid == bid
+                np.testing.assert_array_equal(ae, be)
+                np.testing.assert_array_equal(al, bl)
+                np.testing.assert_array_equal(at, bt)
+                np.testing.assert_array_equal(atl, btl)
+    finally:
+        workers.close()
+    workers.close()  # idempotent
+
+
+def test_num_workers_sharded_empty_batch(cache):
+    """Workers must also reproduce the all-padding batch a small final global
+    batch leaves on a high-index shard."""
+    index_path, feats_root = cache
+    kw = dict(
+        splits=["voiced_parallel_data", "silent_parallel_data"],
+        subsets=None,
+        vocab=default_vocab(),
+        batch_size=3,
+        shuffle=False,
+        include_teacher=False,
+        num_shards=2,
+        shard_index=1,
+    )
+    serial = _collect_epoch(make_dataloader(index_path, feats_root, **kw))
+    loader = make_dataloader(index_path, feats_root, num_workers=1, **kw)
+    try:
+        worked = _collect_epoch(loader)
+    finally:
+        loader.close()
+    assert len(serial) == len(worked)
+    for (ae, al, at, atl, aid), (be, bl, bt, btl, bid) in zip(serial, worked):
+        assert aid == bid
+        np.testing.assert_array_equal(ae, be)
+        np.testing.assert_array_equal(al, bl)
+        np.testing.assert_array_equal(at, bt)
+        np.testing.assert_array_equal(atl, btl)
+
+
 def test_emg_bf16_rejected_in_raw_mode(tmp_path):
     import ml_dtypes
     import pytest
