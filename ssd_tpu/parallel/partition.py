@@ -1,4 +1,5 @@
-"""Parameter partitioning rules: tensor parallelism over the ``model`` axis.
+"""Parameter partitioning rules: tensor parallelism over the ``model`` axis
+and optional FSDP (ZeRO-style) sharding over the ``data`` axis.
 
 The reference has no model parallelism (SURVEY.md §2 "Parallelism" — strictly
 single-device); here the ``model`` mesh axis is a first-class option wired
@@ -15,6 +16,16 @@ and dataflow-aware so XLA inserts exactly one all-reduce per sandwiched pair:
 * conv module, subsampler, norms, heads: replicated (element-wise /
   small — sharding them would add collectives worth more than the FLOPs).
 
+**FSDP** (``parallel: {fsdp: true}``): every sufficiently large parameter —
+and, via the shared rule function, its optimizer moments and accumulated
+gradients — additionally shards one eligible dimension over ``data``, so
+per-chip state memory scales down with the data degree. GSPMD then
+all-gathers each weight just-in-time for its matmul and reduce-scatters its
+gradient (the standard JAX FSDP recipe: annotate, let XLA insert the
+collectives). Batch statistics stay replicated: they are read every forward
+and updated from batch reductions, so sharding them trades an all-gather per
+BatchNorm for negligible memory.
+
 One rule function serves the whole TrainState: optimizer moments (adamw
 ``mu``/``nu``) embed the same param path names, so mapping
 :func:`param_pspec` over the abstract state shards them identically.
@@ -26,24 +37,24 @@ import logging
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ssd_tpu.parallel.mesh import MODEL_AXIS
+from ssd_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 logger = logging.getLogger(__name__)
+
+# Leaves smaller than this stay replicated under FSDP: sharding a 288-float
+# bias saves nothing and costs an all-gather's latency floor per use.
+FSDP_MIN_SIZE = 1024
 
 
 def _path_names(path) -> list[str]:
     return [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
 
 
-def param_pspec(path, leaf) -> P:
-    """Partition spec for one TrainState leaf (params or optimizer moments).
-
-    ``leaf`` may be a concrete array or a ShapeDtypeStruct (eval_shape).
-    """
-    names = _path_names(path)
-    ndim = getattr(leaf, "ndim", len(getattr(leaf, "shape", ())))
+def _tp_pspec(names: list[str], ndim: int) -> P:
+    """Megatron-style tensor-parallel spec over the ``model`` axis."""
     leaf_name = names[-1] if names else ""
 
     if "w1" in names:  # ffn up-projection: column parallel
@@ -68,6 +79,44 @@ def param_pspec(path, leaf) -> P:
     return P()
 
 
+def _with_fsdp(spec: P, names: list[str], shape, fsdp_data: int) -> P:
+    """Additionally shard one eligible dim of ``spec`` over ``data``.
+
+    Eligible: a dim the tp rules left unsharded whose size divides the data
+    degree; the LARGEST such dim is taken (most memory saved, and for
+    kernels that is usually a contraction dim XLA all-gathers just-in-time).
+    Batch statistics and small leaves are excluded (see module docstring).
+    """
+    if fsdp_data <= 1 or "batch_stats" in names:
+        return spec
+    shape = tuple(shape or ())
+    if not shape or int(np.prod(shape)) < FSDP_MIN_SIZE:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best = -1
+    for d, size in enumerate(shape):
+        if entries[d] is None and size % fsdp_data == 0:
+            if best < 0 or size > shape[best]:
+                best = d
+    if best < 0:
+        return spec
+    entries[best] = DATA_AXIS
+    return P(*entries)
+
+
+def param_pspec(path, leaf, fsdp_data: int = 0) -> P:
+    """Partition spec for one TrainState leaf (params or optimizer moments).
+
+    ``leaf`` may be a concrete array or a ShapeDtypeStruct (eval_shape).
+    ``fsdp_data`` > 1 additionally shards large leaves over the ``data``
+    axis (FSDP); 0/1 reproduces the pure-tp rules.
+    """
+    names = _path_names(path)
+    shape = tuple(getattr(leaf, "shape", ()) or ())
+    spec = _tp_pspec(names, len(shape))
+    return _with_fsdp(spec, names, shape, fsdp_data)
+
+
 def check_tp_divisibility(cfg_model: dict, model_par: int) -> bool:
     """True when the encoder dims divide the tensor-parallel degree."""
     enc = cfg_model["encoder"]
@@ -77,17 +126,21 @@ def check_tp_divisibility(cfg_model: dict, model_par: int) -> bool:
     )
 
 
-def state_shardings(mesh: Mesh, abstract_state: Any):
+def state_shardings(mesh: Mesh, abstract_state: Any, fsdp: bool = False):
     """NamedShardings for a full TrainState pytree (params + batch_stats +
-    opt_state + step) from :func:`param_pspec`; non-matching leaves replicate."""
+    opt_state + step) from :func:`param_pspec`; non-matching leaves replicate.
+    ``fsdp=True`` additionally shards large leaves over the ``data`` axis."""
+    fsdp_data = mesh.shape[DATA_AXIS] if fsdp else 0
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_pspec(path, leaf)),
+        lambda path, leaf: NamedSharding(
+            mesh, param_pspec(path, leaf, fsdp_data=fsdp_data)
+        ),
         abstract_state,
     )
 
 
-def shard_state(mesh: Mesh, state: Any):
+def shard_state(mesh: Mesh, state: Any, fsdp: bool = False):
     """Place an (unsharded) TrainState according to the partition rules."""
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), state, state_shardings(mesh, state)
+        lambda x, s: jax.device_put(x, s), state, state_shardings(mesh, state, fsdp)
     )

@@ -595,7 +595,13 @@ def train_from_config(
             f"parallel.model={model_par} must divide ffn_dim and num_heads "
             f"({cfg['model']['encoder']['ffn_dim']}, {cfg['model']['encoder']['num_heads']})"
         )
-    logger.info("Mesh: %s over %d device(s)", dict(mesh.shape), mesh.size)
+    # FSDP (ZeRO-style): shard params/moments/accumulated grads over `data`
+    # too — per-chip state memory scales down with the data degree
+    fsdp = bool((cfg.get("parallel") or {}).get("fsdp", False))
+    logger.info(
+        "Mesh: %s over %d device(s)%s",
+        dict(mesh.shape), mesh.size, " (fsdp)" if fsdp else "",
+    )
 
     model = build_model(cfg, input_dim=input_dim, vocab_size=vocab.size)
     tx, schedule = build_optimizer(cfg, total_updates)
@@ -645,8 +651,9 @@ def train_from_config(
 
     # place the whole TrainState per the partition rules: tensor-parallel
     # shards over `model` (ffn + attention heads, optimizer moments included),
-    # everything else replicated — same rules the driver dryrun exercises
-    state = shard_state(mesh, state)
+    # optional FSDP shards over `data`, everything else replicated — same
+    # rules the driver dryrun exercises
+    state = shard_state(mesh, state, fsdp=fsdp)
 
     base_weights = LossWeights(
         lambda_distill=float(cfg["loss"]["lambda_distill"]),

@@ -77,6 +77,105 @@ def test_param_pspec_rules():
     assert mu_w1 and all(s.spec == P(None, "model") for s in mu_w1)
 
 
+def test_fsdp_pspec_rules():
+    """FSDP adds a `data` entry on one eligible dim of each large leaf;
+    biases (< FSDP_MIN_SIZE), batch_stats, and step stay replicated."""
+    model, tx, state = _make_state()
+    mesh = make_mesh(data=4, model=2)
+    sh = state_shardings(mesh, state, fsdp=True)
+
+    blk = sh.params["encoder"]["block_0"]
+    # (32, 64) w1 kernel: ffn dim already `model`-sharded → d_model gets fsdp
+    assert blk["ffn1"]["w1"]["kernel"].spec == P("data", "model")
+    # (64, 32) w2 kernel: row dim `model`-sharded → d_model (dim 1) gets fsdp
+    assert blk["ffn2"]["w2"]["kernel"].spec == P("model", "data")
+    # (32, 4, 8) qkv kernels: heads `model`-sharded → d_model gets fsdp
+    assert blk["attn"]["mha"]["query"]["kernel"].spec == P("data", "model", None)
+    # (32, 48) ctc head: largest divisible dim (vocab) gets fsdp
+    assert sh.params["ctc_head"]["fc"]["kernel"].spec == P(None, "data")
+    # small biases replicated; batch_stats and step always replicated
+    assert blk["ffn1"]["w1"]["bias"].spec == P("model")
+    assert blk["ffn2"]["w2"]["bias"].spec == P()
+    flat_bs = jax.tree_util.tree_leaves(sh.batch_stats)
+    assert flat_bs and all(s.spec == P() for s in flat_bs)
+    assert sh.step.spec == P()
+
+    # optimizer moments follow their params
+    flat = jax.tree_util.tree_flatten_with_path(sh.opt_state)[0]
+    mu_w1 = [
+        s for path, s in flat
+        if ".mu" in jax.tree_util.keystr(path)
+        and "['w1']['kernel']" in jax.tree_util.keystr(path)
+    ]
+    assert mu_w1 and all(s.spec == P("data", "model") for s in mu_w1)
+
+    # fsdp off reproduces the pure-tp rules bit-for-bit
+    off = state_shardings(mesh, state, fsdp=False)
+    assert off.params["encoder"]["block_0"]["ffn1"]["w1"]["kernel"].spec == P(
+        None, "model"
+    )
+
+
+def test_fsdp_train_steps_match_replicated():
+    """Three train steps under dp4×tp2+fsdp must match the single-mesh
+    replicated run, and the state must actually be sharded over `data`."""
+    rng = np.random.default_rng(0)
+    B, T, S = 8, 32, 6
+    batch_np = {
+        "emg": rng.normal(size=(B, T, 16)).astype(np.float32),
+        "emg_lengths": np.full((B,), T, np.int32),
+        "tokens": rng.integers(2, 48, size=(B, S)).astype(np.int32),
+        "token_lengths": np.full((B,), S, np.int32),
+        "weight": np.ones((B,), np.float32),
+    }
+    lam = jnp.asarray([1.0, 0.0], jnp.float32)
+
+    results = {}
+    for fsdp in (False, True):
+        model, tx, state = _make_state()
+        mesh = make_mesh(data=4, model=2) if fsdp else make_mesh(model=1)
+        train_step = make_train_step(model, tx, blank_id=1, normalize_distill=False)
+        with mesh:
+            st = shard_state(mesh, state, fsdp=fsdp)
+            if fsdp:
+                w1 = st.params["encoder"]["block_0"]["ffn1"]["w1"]["kernel"]
+                # (32, 64) over (data=4, model=2) → (8, 32) per-device shards
+                assert w1.addressable_shards[0].data.shape == (8, 32)
+            sh = batch_sharding(mesh)
+            losses = None
+            for _ in range(3):
+                batch = {k: jax.device_put(v, sh) for k, v in batch_np.items()}
+                st, losses = train_step(st, batch, lam, jax.random.PRNGKey(0))
+            results[fsdp] = (
+                float(losses["total"]),
+                np.asarray(
+                    jax.device_get(st.params["encoder"]["block_0"]["ffn1"]["w1"]["kernel"])
+                ),
+            )
+    np.testing.assert_allclose(results[False][0], results[True][0], rtol=5e-5)
+    np.testing.assert_allclose(results[False][1], results[True][1], rtol=2e-4, atol=1e-6)
+
+
+def test_train_from_config_fsdp(tmp_path):
+    """The PRODUCTION path trains with parallel.fsdp and matches the
+    replicated run. grad_accum=2 additionally shards MultiSteps' accumulated
+    gradients (they carry the param paths through the same rule function)."""
+    cfg, vocab, root = make_tiny_setup(tmp_path)
+    cfg["optim"]["max_epochs"] = 1
+    cfg["optim"]["grad_accum"] = 2
+    cfg["augmentation"] = {}
+    cfg["model"]["encoder"]["dropout"] = 0.0
+    cfg["model"]["ctc_dropout"] = 0.0
+
+    vals = {}
+    for fsdp in (False, True):
+        cfg["parallel"] = {"data": "auto", "model": 2 if fsdp else 1, "fsdp": fsdp}
+        summary = train_from_config(cfg, tmp_path / f"run_fsdp{int(fsdp)}")
+        vals[fsdp] = summary["best_val"]
+    assert np.isfinite(vals[False]) and np.isfinite(vals[True])
+    np.testing.assert_allclose(vals[False], vals[True], rtol=1e-4)
+
+
 def test_tp_divisibility_check():
     cfg_model = {"encoder": {"ffn_dim": 64, "num_heads": 4}}
     assert check_tp_divisibility(cfg_model, 2)
