@@ -74,6 +74,7 @@ def evaluate_checkpoint(
     batch_size: int = 4,
     index_path: Optional[Path] = None,
     features_root: Optional[Path] = None,
+    data_parallel: bool = False,
 ) -> Dict[str, Any]:
     """Run decode over the eval set; returns metrics + records + latencies.
 
@@ -81,6 +82,12 @@ def evaluate_checkpoint(
     evaluate from the raw signals: the loader runs in raw mode and the
     forward featurizes on device with the config's ``features.emg`` block —
     the same path the trainer used.
+
+    ``data_parallel`` shards each batch over every local device (the shared
+    ``(data, model=1)`` mesh, params replicated); the forward AND the jitted
+    decode run SPMD, so eval throughput scales with the chip count. Batches
+    are zero-padded up to a mesh multiple (safe non-zero pad lengths, same
+    trick as serving) and the pad hypotheses are dropped.
     """
     data_cfg = cfg["data"]
     index_path = index_path or Path(data_cfg["index"])
@@ -132,15 +139,48 @@ def evaluate_checkpoint(
     params, batch_stats = payload["params"], payload["batch_stats"]
     forward = make_forward(model, featurize_cfg=feat_cfg)
 
+    mesh = None
+    if data_parallel:
+        if len(jax.devices()) > 1:
+            from ssd_tpu.parallel.mesh import make_mesh, replicated
+
+            mesh = make_mesh()
+            logger.info("Data-parallel eval over %d devices", mesh.size)
+            rep = replicated(mesh)
+            params = jax.device_put(params, rep)
+            batch_stats = jax.device_put(batch_stats, rep)
+        else:
+            logger.warning(
+                "--data-parallel requested but only 1 device is visible — "
+                "running single-device"
+            )
+
     refs: List[str] = []
     hyps: List[str] = []
     records: List[Dict] = []
     decode_latencies: List[float] = []
 
     for batch in prefetch(loader):
-        log_probs, out_lengths = forward(
-            params, batch_stats, jnp.asarray(batch.emg), jnp.asarray(batch.emg_lengths)
-        )
+        emg, lengths = batch.emg, batch.emg_lengths
+        if mesh is not None:
+            from ssd_tpu.parallel.mesh import batch_sharding
+
+            B = emg.shape[0]
+            B_pad = -(-B // mesh.size) * mesh.size
+            if B_pad != B:
+                emg = np.pad(emg, [(0, B_pad - B)] + [(0, 0)] * (emg.ndim - 1))
+                # pad rows need a valid non-zero length (all-masked attention
+                # rows are NaN): one STFT window of zeros in raw mode, a few
+                # zero frames otherwise; their hypotheses are sliced off below
+                safe_len = feat_cfg.n_fft if feat_cfg is not None else 8
+                lengths = np.concatenate(
+                    [lengths, np.full((B_pad - B,), safe_len, np.int32)]
+                )
+            sh = batch_sharding(mesh)
+            emg, lengths = jax.device_put(emg, sh), jax.device_put(lengths, sh)
+        else:
+            emg, lengths = jnp.asarray(emg), jnp.asarray(lengths)
+        log_probs, out_lengths = forward(params, batch_stats, emg, lengths)
         log_probs.block_until_ready()
         t0 = time.perf_counter()
         batch_hyps = decoder_fn(log_probs, out_lengths)
@@ -230,6 +270,12 @@ def _parse_args() -> argparse.Namespace:
         help="LM-fused decoding backend: on-device hashed-table fusion "
         "(default) or the host prefix-search oracle.",
     )
+    p.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="Shard eval batches over every local device (SPMD forward + "
+        "decode); eval throughput scales with the chip count.",
+    )
     return p.parse_args()
 
 
@@ -310,6 +356,7 @@ def main() -> None:
         batch_size=args.batch_size,
         index_path=args.index,
         features_root=args.features_root,
+        data_parallel=args.data_parallel,
     )
     metrics, records = out["metrics"], out["records"]
     metrics["decoder"] = {

@@ -43,6 +43,30 @@ def test_evaluate_checkpoint(trained, method):
     assert rec["ref"] == "hello world"
 
 
+@pytest.mark.parametrize("method", ["greedy", "beam"])
+def test_evaluate_data_parallel_matches(trained, method):
+    """--data-parallel (batch sharded over the 8-device mesh, zero-padded to
+    a mesh multiple, pad hypotheses dropped) must reproduce the single-device
+    metrics and records exactly."""
+    cfg, vocab, run_dir = trained
+    outs = {}
+    for dp in (False, True):
+        decoder = build_decoder(method=method, vocab=vocab, beam_width=8)
+        outs[dp] = evaluate_checkpoint(
+            run_dir / "best",
+            cfg,
+            vocab,
+            splits=["voiced_parallel_data"],
+            subsets=["val"],
+            decoder_fn=decoder,
+            batch_size=2,
+            data_parallel=dp,
+        )
+    assert outs[False]["records"] == outs[True]["records"]
+    assert outs[False]["metrics"]["cer"] == outs[True]["metrics"]["cer"]
+    assert outs[False]["metrics"]["wer"] == outs[True]["metrics"]["wer"]
+
+
 def test_apply_device_choice_cpu_and_tpu():
     """--device maps onto real platform names (VERDICT r2 weak #5)."""
     import pytest

@@ -176,6 +176,32 @@ def test_train_from_config_fsdp(tmp_path):
     np.testing.assert_allclose(vals[False], vals[True], rtol=1e-4)
 
 
+def test_fsdp_checkpoint_topology_portable(tmp_path):
+    """Checkpoints are topology-free: orbax saves the full logical arrays, so
+    a run saved under fsdp resumes replicated and vice versa (shard_state
+    re-places after restore)."""
+    import json
+
+    cfg, vocab, root = make_tiny_setup(tmp_path)
+    cfg["optim"]["max_epochs"] = 1
+    run_dir = tmp_path / "run_port"
+    cfg = json.loads(json.dumps(cfg))
+    cfg["parallel"] = {"data": "auto", "model": 1, "fsdp": True}
+    train_from_config(cfg, run_dir)
+
+    # resume the fsdp checkpoint WITHOUT fsdp (and with tp=2 instead)
+    cfg["parallel"] = {"data": "auto", "model": 2, "fsdp": False}
+    cfg["optim"]["max_epochs"] = 2
+    summary = train_from_config(cfg, run_dir, resume=True)
+    assert summary["epochs"] == 2 and np.isfinite(summary["best_val"])
+
+    # and back onto fsdp
+    cfg["parallel"] = {"data": "auto", "model": 1, "fsdp": True}
+    cfg["optim"]["max_epochs"] = 3
+    summary = train_from_config(cfg, run_dir, resume=True)
+    assert summary["epochs"] == 3 and np.isfinite(summary["best_val"])
+
+
 def test_tp_divisibility_check():
     cfg_model = {"encoder": {"ffn_dim": 64, "num_heads": 4}}
     assert check_tp_divisibility(cfg_model, 2)
