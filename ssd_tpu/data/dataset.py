@@ -346,11 +346,12 @@ class DataLoader:
         self.drop_last = drop_last
         self.bucket_batches = bucket_batches
         # item-load + collate worker processes (the torch DataLoader
-        # num_workers analog, reference dataset.py:251-259). Spawn context:
-        # the parent holds jax/XLA threads (fork-unsafe); workers import only
-        # this (jax-free) module. Batches arrive IN ORDER and bit-identical
-        # to num_workers=0 — augmentation RNG is derived per batch, not drawn
-        # from one sequential stream.
+        # num_workers analog, reference dataset.py:251-259). Spawn context
+        # because the parent holds jax/XLA threads (fork-unsafe); note spawn
+        # re-imports the launching __main__ in each worker, so workers pay
+        # the trainer's import cost once at pool start. Batches arrive IN
+        # ORDER and bit-identical to num_workers=0 — augmentation RNG is
+        # derived per batch, not drawn from one sequential stream.
         self.num_workers = int(num_workers)
         self._pool = None
         self.epoch = 0
@@ -489,12 +490,36 @@ class DataLoader:
         except Exception:
             pass
 
+    def _await(self, async_result):
+        """``AsyncResult.get`` that cannot block forever across ``close()``.
+
+        A plain ``get()`` on a terminated pool never returns; polling with a
+        timeout lets an iterator (often the prefetch producer thread) detect
+        the teardown and raise instead of leaking a permanently-blocked
+        thread.
+        """
+        import multiprocessing as mp
+
+        while True:
+            try:
+                return async_result.get(0.5)
+            except mp.TimeoutError:
+                if self._pool is None:
+                    raise RuntimeError(
+                        "DataLoader.close() was called during iteration"
+                    ) from None
+
     def _iter_workers(self, epoch: int, batches: List[List[int]]) -> Iterator[Batch]:
         """Ordered worker-pool iteration with bounded lookahead.
 
         At most ``num_workers + 2`` batches are in flight so worker results
         (full padded arrays) cannot accumulate unboundedly while the device
-        step drains them in order.
+        step drains them in order. An abandoned iterator (mid-epoch break)
+        simply drops its pending AsyncResults — the already-submitted builds
+        finish in the pool and are discarded, which can delay the NEXT
+        epoch's first batch by up to that many builds but affects nothing
+        else (results travel through per-iteration handles, not a shared
+        queue).
         """
         from collections import deque
 
@@ -505,9 +530,9 @@ class DataLoader:
             pending.append(pool.apply_async(_worker_build, (task,)))
             if len(pending) < self.num_workers + 2:
                 continue
-            yield pending.popleft().get()
+            yield self._await(pending.popleft())
         while pending:
-            yield pending.popleft().get()
+            yield self._await(pending.popleft())
 
     def __iter__(self) -> Iterator[Batch]:
         epoch = self.epoch
@@ -538,29 +563,50 @@ def _worker_build(task) -> Batch:
 
 
 def prefetch(loader: DataLoader, size: int = 2) -> Iterator[Batch]:
-    """Background-thread prefetch (replaces DataLoader worker processes)."""
+    """Background-thread prefetch (the device-overlap path for the default
+    in-process loader; composes with ``num_workers`` worker pools).
+
+    Closing/abandoning the returned generator (mid-epoch break, preemption)
+    stops the producer thread promptly instead of leaving it blocked on the
+    bounded queue — long-lived callers (orchestrator, test harnesses) would
+    otherwise accumulate one stuck thread per interrupted epoch."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err: List[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that gives up once the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer() -> None:
         try:
             for batch in loader:
-                q.put(batch)
+                if not _put(batch):
+                    return
         except BaseException as e:  # pragma: no cover - defensive
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def make_dataloader(

@@ -163,19 +163,13 @@ def evaluate_checkpoint(
     for batch in prefetch(loader):
         emg, lengths = batch.emg, batch.emg_lengths
         if mesh is not None:
-            from ssd_tpu.parallel.mesh import batch_sharding
+            from ssd_tpu.parallel.mesh import batch_sharding, pad_batch_to_multiple
 
-            B = emg.shape[0]
-            B_pad = -(-B // mesh.size) * mesh.size
-            if B_pad != B:
-                emg = np.pad(emg, [(0, B_pad - B)] + [(0, 0)] * (emg.ndim - 1))
-                # pad rows need a valid non-zero length (all-masked attention
-                # rows are NaN): one STFT window of zeros in raw mode, a few
-                # zero frames otherwise; their hypotheses are sliced off below
-                safe_len = feat_cfg.n_fft if feat_cfg is not None else 8
-                lengths = np.concatenate(
-                    [lengths, np.full((B_pad - B,), safe_len, np.int32)]
-                )
+            (emg, lengths), B = pad_batch_to_multiple((emg, lengths), mesh.size)
+            # pad rows need a valid non-zero length (all-masked attention
+            # rows are NaN): one STFT window of zeros in raw mode, a few
+            # zero frames otherwise; their hypotheses are sliced off below
+            lengths[B:] = feat_cfg.n_fft if feat_cfg is not None else 8
             sh = batch_sharding(mesh)
             emg, lengths = jax.device_put(emg, sh), jax.device_put(lengths, sh)
         else:

@@ -82,9 +82,10 @@ def _tp_pspec(names: list[str], ndim: int) -> P:
 def _with_fsdp(spec: P, names: list[str], shape, fsdp_data: int) -> P:
     """Additionally shard one eligible dim of ``spec`` over ``data``.
 
-    Eligible: a dim the tp rules left unsharded whose size divides the data
-    degree; the LARGEST such dim is taken (most memory saved, and for
-    kernels that is usually a contraction dim XLA all-gathers just-in-time).
+    Eligible: a dim the tp rules left unsharded whose size is a multiple of
+    the data degree (e.g. on a 32-wide data axis a 288-dim does NOT shard);
+    the LARGEST such dim is taken (most memory saved, and for kernels that
+    is usually a contraction dim XLA all-gathers just-in-time).
     Batch statistics and small leaves are excluded (see module docstring).
     """
     if fsdp_data <= 1 or "batch_stats" in names:

@@ -560,244 +560,248 @@ def train_from_config(
         shard_index=jax.process_index(),
         **common,
     )
-    logger.info(
-        "Train batches: %d | Val batches: %d | batch %d | accum %d",
-        len(train_loader),
-        len(val_loader),
-        cfg["optim"]["batch_size"],
-        cfg["optim"].get("grad_accum", 1),
-    )
-
-    # infer input dim from the first cached feature (reference: first batch);
-    # raw mode: channels from the first raw file × configured n_mels
-    if len(train_loader.dataset) == 0:
-        raise ValueError("Empty training dataset after filtering.")
-    first = train_loader.dataset.get(0)
-    if train_from_raw:
-        input_dim = first["emg"].shape[1] * featurize[0].n_mels
-    else:
-        input_dim = first["emg"].shape[1]
-
-    # stamp the inferred input dim into the config that gets embedded next to
-    # checkpoints: eval re-infers it like the reference, but serving needs a
-    # self-describing checkpoint (engine featurizes raw EMG, no cache to probe)
-    cfg.setdefault("model", {}).setdefault("encoder", {})["input_dim"] = int(input_dim)
-
-    grad_accum = int(cfg["optim"].get("grad_accum", 1))
-    max_epochs = 1 if dry_run else int(cfg["optim"].get("max_epochs", 1))
-    updates_per_epoch = max(1, math.ceil(len(train_loader) / grad_accum))
-    total_updates = max_epochs * updates_per_epoch
-
-    mesh = mesh_from_config(cfg)
-    model_par = mesh.shape["model"]
-    if model_par > 1 and not check_tp_divisibility(cfg["model"], model_par):
-        raise ValueError(
-            f"parallel.model={model_par} must divide ffn_dim and num_heads "
-            f"({cfg['model']['encoder']['ffn_dim']}, {cfg['model']['encoder']['num_heads']})"
-        )
-    # FSDP (ZeRO-style): shard params/moments/accumulated grads over `data`
-    # too — per-chip state memory scales down with the data degree
-    fsdp = bool((cfg.get("parallel") or {}).get("fsdp", False))
-    logger.info(
-        "Mesh: %s over %d device(s)%s",
-        dict(mesh.shape), mesh.size, " (fsdp)" if fsdp else "",
-    )
-
-    model = build_model(cfg, input_dim=input_dim, vocab_size=vocab.size)
-    tx, schedule = build_optimizer(cfg, total_updates)
-    init_rng, _ = jax.random.split(rng)
-    state = init_state(model, tx, input_dim, init_rng)
-    # dropout uses the hardware RBG generator: threefry mask generation costs
-    # ~15 ms/step at production shapes vs ~2 ms for rbg (measured on v5e)
-    seed = int(cfg["logging"].get("seed", 42))
-    dropout_rng = jax.random.key(seed + 1, impl="rbg")
-
-    if init_checkpoint is not None:
-        logger.info("Warm start from %s", init_checkpoint)
-        payload = load_checkpoint(Path(init_checkpoint))
-        state = state.replace(
-            params=load_params_partial(state.params, payload["params"]),
-            batch_stats=load_params_partial(state.batch_stats, payload["batch_stats"]),
+    try:
+        logger.info(
+            "Train batches: %d | Val batches: %d | batch %d | accum %d",
+            len(train_loader),
+            len(val_loader),
+            cfg["optim"]["batch_size"],
+            cfg["optim"].get("grad_accum", 1),
         )
 
-    start_epoch = 1
-    if resume and (run_dir / "last").exists():
-        # topology-checked restore: the abstract target mirrors the save
-        # payload (train state + epoch/step counters)
-        abstract = jax.tree_util.tree_map(
-            # read shape/dtype from the leaf directly — np.asarray on device
-            # arrays would copy the whole train state to host just for dtypes
-            lambda x: jax.ShapeDtypeStruct(
-                np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype
-            ),
-            {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-                "epoch": np.asarray(0),
-                "step": np.asarray(state.step),
-            },
-        )
-        restored = load_checkpoint(run_dir / "last", target=abstract)
-        state = state.replace(
-            params=restored["params"],
-            batch_stats=restored["batch_stats"],
-            opt_state=restored["opt_state"],
-            step=jnp.asarray(restored["step"]),
-        )
-        start_epoch = int(restored["epoch"]) + 1
-        train_loader.epoch = start_epoch - 1  # keep per-epoch shuffles distinct
-        logger.info("Resuming %s at epoch %d", run_dir, start_epoch)
+        # infer input dim from the first cached feature (reference: first batch);
+        # raw mode: channels from the first raw file × configured n_mels
+        if len(train_loader.dataset) == 0:
+            raise ValueError("Empty training dataset after filtering.")
+        first = train_loader.dataset.get(0)
+        if train_from_raw:
+            input_dim = first["emg"].shape[1] * featurize[0].n_mels
+        else:
+            input_dim = first["emg"].shape[1]
 
-    # place the whole TrainState per the partition rules: tensor-parallel
-    # shards over `model` (ffn + attention heads, optimizer moments included),
-    # optional FSDP shards over `data`, everything else replicated — same
-    # rules the driver dryrun exercises
-    state = shard_state(mesh, state, fsdp=fsdp)
+        # stamp the inferred input dim into the config that gets embedded next to
+        # checkpoints: eval re-infers it like the reference, but serving needs a
+        # self-describing checkpoint (engine featurizes raw EMG, no cache to probe)
+        cfg.setdefault("model", {}).setdefault("encoder", {})["input_dim"] = int(input_dim)
 
-    base_weights = LossWeights(
-        lambda_distill=float(cfg["loss"]["lambda_distill"]),
-        lambda_ctc=float(cfg["loss"]["lambda_ctc"]),
-    )
-    normalize_distill = bool(cfg["loss"].get("distill_normalize", False))
-    distill_warmup_epochs = int(cfg["loss"].get("distill_warmup_epochs") or 0)
-    blank_id = vocab.blank_id
+        grad_accum = int(cfg["optim"].get("grad_accum", 1))
+        max_epochs = 1 if dry_run else int(cfg["optim"].get("max_epochs", 1))
+        updates_per_epoch = max(1, math.ceil(len(train_loader) / grad_accum))
+        total_updates = max_epochs * updates_per_epoch
 
-    augment = None
-    if on_device_augment and (spec_cfg is not None or chan_cfg is not None):
-        n_mels = cfg.get("features", {}).get("emg", {}).get("n_mels", 80)
-        augment = (spec_cfg, chan_cfg, int(n_mels))
-    train_step = make_train_step(
-        model, tx, blank_id, normalize_distill, augment, featurize
-    )
-    eval_step = make_eval_step(model, blank_id, normalize_distill, featurize)
-    flush_step = make_flush_step(tx) if grad_accum > 1 else None
-
-    early = cfg["optim"].get("early_stopping", {}) or {}
-    patience = int(early.get("patience", 0))
-    min_delta = float(early.get("min_delta", 0.0))
-
-    best_val = float("inf")
-    best_epoch = 0
-    patience_counter = 0
-
-    epoch = start_epoch - 1
-    preempted = False
-    with mesh, PreemptionGuard() as guard:
-        for epoch in range(start_epoch, max_epochs + 1):
-            warmup_scale = 1.0
-            if distill_warmup_epochs > 0:
-                warmup_scale = min(1.0, epoch / float(distill_warmup_epochs))
-            lambdas = np.asarray(
-                [base_weights.lambda_ctc, base_weights.lambda_distill * warmup_scale],
-                np.float32,
+        mesh = mesh_from_config(cfg)
+        model_par = mesh.shape["model"]
+        if model_par > 1 and not check_tp_divisibility(cfg["model"], model_par):
+            raise ValueError(
+                f"parallel.model={model_par} must divide ffn_dim and num_heads "
+                f"({cfg['model']['encoder']['ffn_dim']}, {cfg['model']['encoder']['num_heads']})"
             )
-            start = time.time()
-            state, train_losses = run_train_epoch(
-                train_step,
-                state,
-                train_loader,
-                mesh,
-                lambdas,
-                dropout_rng,
-                include_teacher,
-                writer,
-                cfg["logging"].get("log_interval", 10),
-                schedule,
-                grad_accum,
-                stop_flag=guard,
+        # FSDP (ZeRO-style): shard params/moments/accumulated grads over `data`
+        # too — per-chip state memory scales down with the data degree
+        fsdp = bool((cfg.get("parallel") or {}).get("fsdp", False))
+        logger.info(
+            "Mesh: %s over %d device(s)%s",
+            dict(mesh.shape), mesh.size, " (fsdp)" if fsdp else "",
+        )
+
+        model = build_model(cfg, input_dim=input_dim, vocab_size=vocab.size)
+        tx, schedule = build_optimizer(cfg, total_updates)
+        init_rng, _ = jax.random.split(rng)
+        state = init_state(model, tx, input_dim, init_rng)
+        # dropout uses the hardware RBG generator: threefry mask generation costs
+        # ~15 ms/step at production shapes vs ~2 ms for rbg (measured on v5e)
+        seed = int(cfg["logging"].get("seed", 42))
+        dropout_rng = jax.random.key(seed + 1, impl="rbg")
+
+        if init_checkpoint is not None:
+            logger.info("Warm start from %s", init_checkpoint)
+            payload = load_checkpoint(Path(init_checkpoint))
+            state = state.replace(
+                params=load_params_partial(state.params, payload["params"]),
+                batch_stats=load_params_partial(state.batch_stats, payload["batch_stats"]),
             )
-            if _stop_requested_globally(guard):
-                # Preemption: save a resumable `last` labeled with the LAST
-                # COMPLETED epoch — `--resume` re-runs the interrupted epoch
-                # (its per-epoch shuffle is deterministic). Partial-epoch
-                # optimizer updates are kept; state.step stays accurate, so
-                # the LR schedule is unaffected.
+
+        start_epoch = 1
+        if resume and (run_dir / "last").exists():
+            # topology-checked restore: the abstract target mirrors the save
+            # payload (train state + epoch/step counters)
+            abstract = jax.tree_util.tree_map(
+                # read shape/dtype from the leaf directly — np.asarray on device
+                # arrays would copy the whole train state to host just for dtypes
+                lambda x: jax.ShapeDtypeStruct(
+                    np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype
+                ),
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "epoch": np.asarray(0),
+                    "step": np.asarray(state.step),
+                },
+            )
+            restored = load_checkpoint(run_dir / "last", target=abstract)
+            state = state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(restored["step"]),
+            )
+            start_epoch = int(restored["epoch"]) + 1
+            train_loader.epoch = start_epoch - 1  # keep per-epoch shuffles distinct
+            logger.info("Resuming %s at epoch %d", run_dir, start_epoch)
+
+        # place the whole TrainState per the partition rules: tensor-parallel
+        # shards over `model` (ffn + attention heads, optimizer moments included),
+        # optional FSDP shards over `data`, everything else replicated — same
+        # rules the driver dryrun exercises
+        state = shard_state(mesh, state, fsdp=fsdp)
+
+        base_weights = LossWeights(
+            lambda_distill=float(cfg["loss"]["lambda_distill"]),
+            lambda_ctc=float(cfg["loss"]["lambda_ctc"]),
+        )
+        normalize_distill = bool(cfg["loss"].get("distill_normalize", False))
+        distill_warmup_epochs = int(cfg["loss"].get("distill_warmup_epochs") or 0)
+        blank_id = vocab.blank_id
+
+        augment = None
+        if on_device_augment and (spec_cfg is not None or chan_cfg is not None):
+            n_mels = cfg.get("features", {}).get("emg", {}).get("n_mels", 80)
+            augment = (spec_cfg, chan_cfg, int(n_mels))
+        train_step = make_train_step(
+            model, tx, blank_id, normalize_distill, augment, featurize
+        )
+        eval_step = make_eval_step(model, blank_id, normalize_distill, featurize)
+        flush_step = make_flush_step(tx) if grad_accum > 1 else None
+
+        early = cfg["optim"].get("early_stopping", {}) or {}
+        patience = int(early.get("patience", 0))
+        min_delta = float(early.get("min_delta", 0.0))
+
+        best_val = float("inf")
+        best_epoch = 0
+        patience_counter = 0
+
+        epoch = start_epoch - 1
+        preempted = False
+        with mesh, PreemptionGuard() as guard:
+            for epoch in range(start_epoch, max_epochs + 1):
+                warmup_scale = 1.0
+                if distill_warmup_epochs > 0:
+                    warmup_scale = min(1.0, epoch / float(distill_warmup_epochs))
+                lambdas = np.asarray(
+                    [base_weights.lambda_ctc, base_weights.lambda_distill * warmup_scale],
+                    np.float32,
+                )
+                start = time.time()
+                state, train_losses = run_train_epoch(
+                    train_step,
+                    state,
+                    train_loader,
+                    mesh,
+                    lambdas,
+                    dropout_rng,
+                    include_teacher,
+                    writer,
+                    cfg["logging"].get("log_interval", 10),
+                    schedule,
+                    grad_accum,
+                    stop_flag=guard,
+                )
+                if _stop_requested_globally(guard):
+                    # Preemption: save a resumable `last` labeled with the LAST
+                    # COMPLETED epoch — `--resume` re-runs the interrupted epoch
+                    # (its per-epoch shuffle is deterministic). Partial-epoch
+                    # optimizer updates are kept; state.step stays accurate, so
+                    # the LR schedule is unaffected.
+                    save_checkpoint(
+                        run_dir,
+                        {
+                            "params": state.params,
+                            "batch_stats": state.batch_stats,
+                            "opt_state": state.opt_state,
+                            "epoch": np.asarray(epoch - 1),
+                            "step": np.asarray(state.step),
+                        },
+                        cfg,
+                        is_best=False,
+                    )
+                    logger.warning(
+                        "Preempted during epoch %d: saved resumable 'last' "
+                        "(resume with --resume; the epoch re-runs)",
+                        epoch,
+                    )
+                    preempted = True
+                    break
+                if flush_step is not None:
+                    state = flush_partial_accumulation(state, flush_step, grad_accum)
+                train_time = time.time() - start
+                val_losses = run_eval_epoch(
+                    eval_step, state, val_loader, mesh, lambdas, include_teacher
+                )
+                logger.info(
+                    "Epoch %d done in %.1fs | val total %.4f (ctc %.4f, distill %.4f) | λ_ctc %.2f λ_distill %.2f",
+                    epoch,
+                    train_time,
+                    val_losses["total"],
+                    val_losses["ctc"],
+                    val_losses["distill"],
+                    lambdas[0],
+                    lambdas[1],
+                )
+                if writer is not None:
+                    writer.add_scalar("val/total_loss", val_losses["total"], epoch)
+                    writer.add_scalar("val/ctc_loss", val_losses["ctc"], epoch)
+                    writer.add_scalar("val/distill_loss", val_losses["distill"], epoch)
+                    writer.add_scalar("train/lambda_ctc", float(lambdas[0]), epoch)
+                    writer.add_scalar("train/lambda_distill", float(lambdas[1]), epoch)
+
+                is_best = val_losses["total"] < (best_val - min_delta)
+                if is_best:
+                    best_val = val_losses["total"]
+                    best_epoch = epoch
+                    patience_counter = 0
+                else:
+                    patience_counter += 1
+
                 save_checkpoint(
                     run_dir,
                     {
                         "params": state.params,
                         "batch_stats": state.batch_stats,
+                        # optimizer state saved for payload parity with the
+                        # reference (train.py:151-160); like the reference, warm
+                        # starts restore weights only
                         "opt_state": state.opt_state,
-                        "epoch": np.asarray(epoch - 1),
+                        "epoch": np.asarray(epoch),
                         "step": np.asarray(state.step),
                     },
                     cfg,
-                    is_best=False,
+                    is_best=is_best,
                 )
-                logger.warning(
-                    "Preempted during epoch %d: saved resumable 'last' "
-                    "(resume with --resume; the epoch re-runs)",
-                    epoch,
-                )
-                preempted = True
-                break
-            if flush_step is not None:
-                state = flush_partial_accumulation(state, flush_step, grad_accum)
-            train_time = time.time() - start
-            val_losses = run_eval_epoch(
-                eval_step, state, val_loader, mesh, lambdas, include_teacher
-            )
-            logger.info(
-                "Epoch %d done in %.1fs | val total %.4f (ctc %.4f, distill %.4f) | λ_ctc %.2f λ_distill %.2f",
-                epoch,
-                train_time,
-                val_losses["total"],
-                val_losses["ctc"],
-                val_losses["distill"],
-                lambdas[0],
-                lambdas[1],
-            )
-            if writer is not None:
-                writer.add_scalar("val/total_loss", val_losses["total"], epoch)
-                writer.add_scalar("val/ctc_loss", val_losses["ctc"], epoch)
-                writer.add_scalar("val/distill_loss", val_losses["distill"], epoch)
-                writer.add_scalar("train/lambda_ctc", float(lambdas[0]), epoch)
-                writer.add_scalar("train/lambda_distill", float(lambdas[1]), epoch)
 
-            is_best = val_losses["total"] < (best_val - min_delta)
-            if is_best:
-                best_val = val_losses["total"]
-                best_epoch = epoch
-                patience_counter = 0
-            else:
-                patience_counter += 1
+                if dry_run:
+                    break
+                if patience and patience_counter >= patience:
+                    logger.info(
+                        "Early stopping at epoch %d (best %d, val %.4f)",
+                        epoch,
+                        best_epoch,
+                        best_val,
+                    )
+                    break
 
-            save_checkpoint(
-                run_dir,
-                {
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    # optimizer state saved for payload parity with the
-                    # reference (train.py:151-160); like the reference, warm
-                    # starts restore weights only
-                    "opt_state": state.opt_state,
-                    "epoch": np.asarray(epoch),
-                    "step": np.asarray(state.step),
-                },
-                cfg,
-                is_best=is_best,
-            )
-
-            if dry_run:
-                break
-            if patience and patience_counter >= patience:
-                logger.info(
-                    "Early stopping at epoch %d (best %d, val %.4f)",
-                    epoch,
-                    best_epoch,
-                    best_val,
-                )
-                break
-
-    train_loader.close()  # reap data.num_workers processes promptly
-    val_loader.close()
-    return {
-        "best_epoch": best_epoch,
-        "best_val": best_val,
-        "epochs": epoch,
-        "preempted": preempted,
-    }
+        return {
+            "best_epoch": best_epoch,
+            "best_val": best_val,
+            "epochs": epoch,
+            "preempted": preempted,
+        }
+    finally:
+        # reap data.num_workers worker processes even when training
+        # raises (checkpoint IO errors, preemption, non-finite loss)
+        train_loader.close()
+        val_loader.close()
 
 
 def _parse_args() -> argparse.Namespace:

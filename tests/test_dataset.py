@@ -316,6 +316,45 @@ def test_num_workers_bit_identical(cache):
     workers.close()  # idempotent
 
 
+def test_num_workers_abandoned_iteration_and_close(cache):
+    """Breaking mid-epoch and closing must not hang (the close-during-get
+    guard) and a fresh epoch on the same loader must still be correct."""
+    import threading
+    import time
+
+    index_path, feats_root = cache
+    kw = dict(
+        splits=["voiced_parallel_data", "silent_parallel_data"],
+        subsets=None, vocab=default_vocab(), batch_size=1,
+        shuffle=False, include_teacher=False,
+    )
+    loader = make_dataloader(index_path, feats_root, num_workers=1, **kw)
+    try:
+        it = iter(loader)
+        next(it)  # start the pool, take one batch, abandon the rest
+        del it
+        # the same pool serves the next full epoch correctly
+        serial = _collect_epoch(make_dataloader(index_path, feats_root, **kw))
+        again = _collect_epoch(loader)
+        # epochs advance the shuffle seed; with shuffle=False ordering matches
+        assert [a[4] for a in serial] == [b[4] for b in again]
+    finally:
+        t0 = time.time()
+        loader.close()
+        assert time.time() - t0 < 10.0
+    # prefetch consumer abandonment stops the producer thread promptly
+    from ssd_tpu.data.dataset import prefetch
+
+    n_before = threading.active_count()
+    gen = prefetch(make_dataloader(index_path, feats_root, **kw), size=1)
+    next(gen)
+    gen.close()
+    deadline = time.time() + 10.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before
+
+
 def test_num_workers_sharded_empty_batch(cache):
     """Workers must also reproduce the all-padding batch a small final global
     batch leaves on a high-index shard."""
