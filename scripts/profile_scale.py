@@ -148,11 +148,14 @@ def infer_variant(scale, B):
     lengths = jnp.asarray(np.full((B,), T, np.int32))
     variables = build(scale, B).init(jax.random.PRNGKey(0), emg, lengths,
                                      train=False)
+    variables = jax.device_put(variables)  # params as jit ARGUMENTS, not
+    # closed-over constants — inlined 166M-param constants blow past the
+    # remote compiler's HLO upload size limit (HTTP 413)
     for name, q in [("bf16", None), ("bf16+int8", "int8")]:
         model = build(scale, B, quantize=q)
 
         @jax.jit
-        def fwd(emg, lengths):
+        def fwd(variables, emg, lengths):
             log_probs, out_lengths, _ = model.apply(
                 variables, emg, lengths, train=False
             )
@@ -161,7 +164,7 @@ def infer_variant(scale, B):
         def run_n(n):
             x = emg
             for _ in range(n):
-                lp = fwd(x, lengths)
+                lp = fwd(variables, x, lengths)
                 # chain: feed a slice of the output back so calls serialize
                 x = x.at[:, 0, 0].add(lp[:, 0, 0] * 1e-9)
             return float(jnp.sum(x[0, 0, 0]))

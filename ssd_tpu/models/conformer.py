@@ -30,6 +30,30 @@ import jax
 import jax.numpy as jnp
 
 from ssd_tpu.ops.dropout import FastDropout
+from ssd_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, ambient_model_axis_size
+
+
+def _sp(x: jnp.ndarray, enabled: bool, shard_t: bool = True, shard_f: bool = False):
+    """Sequence-parallel activation sharding constraint (Megatron-SP style).
+
+    ``shard_t``: shard the time axis of (B, T, ·) over ``model`` — the layout
+    for the per-position regions (norms, dropout, residual adds, the whole
+    conv module), where it divides that elementwise work and its activation
+    memory by the tensor-parallel degree. ``shard_f``: shard the feature axis
+    instead — the layout of the FFN hidden, matching the column-parallel
+    ``w1``. Neither: full-T per data shard (the attention region, where every
+    query needs all keys). GSPMD turns the layout changes into the standard
+    all-gather / reduce-scatter pair that replaces tensor parallelism's
+    all-reduces (same bytes, but the sandwiched elementwise work runs
+    1/model-th per chip).
+
+    No-op when traced outside a ``with mesh:`` whose ``model`` axis is >1, so
+    the same module serves single-device eval/serving unchanged.
+    """
+    if not enabled or ambient_model_axis_size() <= 1:
+        return x
+    spec = (DATA_AXIS, MODEL_AXIS if shard_t else None, MODEL_AXIS if shard_f else None)
+    return jax.lax.with_sharding_constraint(x, jax.sharding.PartitionSpec(*spec))
 
 
 @dataclass(frozen=True)
@@ -57,6 +81,11 @@ class EncoderConfig:
     # W8A8 on the FFN / conv-pointwise Dense layers (ops/quant.py) — same
     # params/checkpoints, ~2× MXU rate on v5e; training always runs float.
     quantize: str = "none"  # none | int8
+    # Megatron-style sequence parallelism: under a >1 `model` mesh axis,
+    # activations in the per-position regions are sharded on T over `model`
+    # (see _sp above). Checkpoint-compatible (annotations only, no params);
+    # ignored outside a model-parallel mesh. parallel: {sequence: true}.
+    sequence_parallel: bool = False
 
     @property
     def dtype(self):
@@ -128,15 +157,23 @@ class _FeedForward(nn.Module):
     dropout: float
     dtype: jnp.dtype = jnp.float32
     quantize: str = "none"
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         dg = _dense_dot_general(self.quantize, train)
+        sp = self.sequence_parallel
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
         x = nn.Dense(self.ffn_dim, dtype=self.dtype, dot_general=dg, name="w1")(x)
+        # hidden sharded on the ffn dim (column-parallel w1): the all-gather
+        # of T happens on the d_model-wide input, not this ffn_dim-wide tensor
+        x = _sp(x, sp, shard_t=False, shard_f=True)
         x = nn.silu(x)
         x = FastDropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.d_model, dtype=self.dtype, dot_general=dg, name="w2")(x)
+        # back to sequence-sharded: row-parallel w2's psum becomes a
+        # reduce-scatter, and the trailing dropout runs 1/model-th per chip
+        x = _sp(x, sp)
         return FastDropout(self.dropout, deterministic=not train)(x)
 
 
@@ -194,10 +231,15 @@ class _ConvModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
     depthwise_impl: str = "lax"  # lax | pallas (same param tree)
     quantize: str = "none"
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        # the whole conv module is per-position (pointwise matmuls, GLU,
+        # BatchNorm psums over the sharded axis, SiLU) except the depthwise
+        # conv's K-1 halo — it runs entirely sequence-sharded
         dg = _dense_dot_general(self.quantize, train)
+        x = _sp(x, self.sequence_parallel)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
         x = nn.Dense(2 * self.d_model, dtype=self.dtype, dot_general=dg, name="pw1")(x)
         a, b = jnp.split(x, 2, axis=-1)
@@ -230,6 +272,7 @@ class _ConvModule(nn.Module):
             x = nn.LayerNorm(dtype=jnp.float32, name="cn")(x)
         x = nn.silu(x)
         x = nn.Dense(self.d_model, dtype=self.dtype, dot_general=dg, name="pw2")(x)
+        x = _sp(x, self.sequence_parallel)
         return FastDropout(self.dropout, deterministic=not train)(x)
 
 
@@ -239,10 +282,15 @@ class _SelfAttention(nn.Module):
     dropout: float
     dtype: jnp.dtype = jnp.float32
     impl: str = "flax"  # flax | fused (ops/attention.py, same param tree)
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        # every query attends to all keys → gather the full T here (the
+        # narrowest point: one d_model-wide all-gather per block under sp);
+        # inside MHA the head axis is what the tp rules shard
+        x = _sp(x, self.sequence_parallel, shard_t=False)
         # key-padding mask: every query may attend to all *valid* keys
         attn_mask = pad_mask[:, None, None, :]  # (B, 1, 1, T)
         attention_fn = nn.dot_product_attention
@@ -260,6 +308,9 @@ class _SelfAttention(nn.Module):
             attention_fn=attention_fn,
             name="mha",
         )(x, x, mask=attn_mask)
+        # row-parallel out-projection: back to sequence-sharded (psum →
+        # reduce-scatter), dropout + residual add run sharded
+        x = _sp(x, self.sequence_parallel)
         return FastDropout(self.dropout, deterministic=not train)(x)
 
 
@@ -269,18 +320,21 @@ class ConformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         c = self.cfg
+        sp = c.sequence_parallel
+        x = _sp(x, sp)  # residual stream sequence-sharded between modules
         x = x + 0.5 * _FeedForward(
-            c.d_model, c.ffn_dim, c.dropout, c.dtype, c.quantize, name="ffn1"
+            c.d_model, c.ffn_dim, c.dropout, c.dtype, c.quantize, sp, name="ffn1"
         )(x, train)
         x = x + _SelfAttention(
-            c.d_model, c.num_heads, c.dropout, c.dtype, c.attention_impl, name="attn"
+            c.d_model, c.num_heads, c.dropout, c.dtype, c.attention_impl, sp,
+            name="attn",
         )(x, pad_mask, train)
         x = x + _ConvModule(
             c.d_model, c.depthwise_conv_kernel_size, c.dropout, c.conv_norm, c.dtype,
-            c.depthwise_impl, c.quantize, name="conv",
+            c.depthwise_impl, c.quantize, sp, name="conv",
         )(x, pad_mask, train)
         x = x + 0.5 * _FeedForward(
-            c.d_model, c.ffn_dim, c.dropout, c.dtype, c.quantize, name="ffn2"
+            c.d_model, c.ffn_dim, c.dropout, c.dtype, c.quantize, sp, name="ffn2"
         )(x, train)
         return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
 
@@ -307,6 +361,9 @@ class EMGConformerEncoder(nn.Module):
         block_cls = nn.remat(ConformerBlock, static_argnums=(3,)) if c.remat else ConformerBlock
         for i in range(c.num_layers):
             x = block_cls(c, name=f"block_{i}")(x, pad_mask, train)
+        # leave sequence parallelism: heads are cheap per-position matmuls but
+        # the CTC scan consumes full (B, T', V) rows per example
+        x = _sp(x, c.sequence_parallel, shard_t=False)
         # zero padded frames (torchaudio masks attention only, but downstream
         # losses/decoders here consume masked positions explicitly anyway)
         x = jnp.where(pad_mask[:, :, None], x, 0.0)

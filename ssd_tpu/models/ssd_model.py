@@ -63,6 +63,7 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         attention_impl=enc.get("attention_impl", "flax"),
         depthwise_impl=enc.get("depthwise_impl", "lax"),
         quantize=enc.get("quantize", "none"),
+        sequence_parallel=enc.get("sequence_parallel", False),
     )
     if encoder_cfg.quantize not in ("none", "int8"):
         raise ValueError(

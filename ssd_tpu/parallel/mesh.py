@@ -58,6 +58,28 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def ambient_model_axis_size() -> int:
+    """Size of the ``model`` axis of the ambient mesh (``with mesh:``), or 0.
+
+    Model code uses this to make activation sharding constraints
+    (sequence parallelism) a no-op when traced outside any mesh — the same
+    flax module then serves single-device eval/serving and the tensor-parallel
+    trainer. Reads the mesh context-manager's thread-local resource env (the
+    mechanism ``with_sharding_constraint`` itself resolves bare
+    ``PartitionSpec``s against), defensively: a JAX-internal rename degrades
+    to "no ambient mesh" rather than an ImportError.
+    """
+    try:
+        from jax._src.mesh import thread_resources
+
+        mesh = thread_resources.env.physical_mesh
+        if mesh.empty or MODEL_AXIS not in mesh.axis_names:
+            return 0
+        return int(mesh.shape[MODEL_AXIS])
+    except Exception:  # pragma: no cover - JAX internals moved
+        return 0
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -599,9 +599,21 @@ def train_from_config(
         # FSDP (ZeRO-style): shard params/moments/accumulated grads over `data`
         # too — per-chip state memory scales down with the data degree
         fsdp = bool((cfg.get("parallel") or {}).get("fsdp", False))
+        # Sequence parallelism (Megatron-SP): activation sharding constraints
+        # in the encoder shard the per-position regions on T over `model`.
+        # Written into the model config so the checkpoint records it; the
+        # constraints are no-ops outside a model-parallel mesh (conformer._sp)
+        seq_par = bool((cfg.get("parallel") or {}).get("sequence", False))
+        if seq_par:
+            if model_par <= 1:
+                logger.warning(
+                    "parallel.sequence=true has no effect with parallel.model=1"
+                )
+            cfg["model"]["encoder"]["sequence_parallel"] = True
         logger.info(
-            "Mesh: %s over %d device(s)%s",
+            "Mesh: %s over %d device(s)%s%s",
             dict(mesh.shape), mesh.size, " (fsdp)" if fsdp else "",
+            " (seq-parallel)" if seq_par and model_par > 1 else "",
         )
 
         model = build_model(cfg, input_dim=input_dim, vocab_size=vocab.size)

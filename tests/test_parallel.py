@@ -19,12 +19,13 @@ from ssd_tpu.training.schedules import build_optimizer
 from ssd_tpu.training.train import init_state, make_eval_step, make_train_step
 
 
-def _setup(n_devices=None, model=1):
+def _setup(n_devices=None, model=1, sequence_parallel=False):
     devices = jax.devices()[:n_devices] if n_devices else None
     mesh = make_mesh(model=model, devices=devices)
     enc = EncoderConfig(
         input_dim=16, d_model=32, num_layers=1, num_heads=4, ffn_dim=64,
         depthwise_conv_kernel_size=7, dropout=0.0, subsample_factor=2,
+        sequence_parallel=sequence_parallel,
     )
     m = SSDModel(encoder_cfg=enc, projection_dim=12, vocab_size=48)
     cfg = {"optim": {"lr": 1e-3, "weight_decay": 0.0, "clip_grad_norm": 0.0,
@@ -102,6 +103,63 @@ def test_batch_sharding_places_shards():
     x = np.zeros((16, 4), np.float32)
     arr = jax.device_put(x, batch_sharding(mesh))
     assert len(arr.sharding.device_set) == 8
+
+
+# ---------------------------------------------------------------- sequence parallel
+def test_sp_eval_matches_single_device():
+    """Sequence parallelism is annotations only: the tp×sp mesh must produce
+    the single-device loss bit-for-tolerance (GSPMD gather/scatter correctness
+    through LayerNorm/BatchNorm/attention/depthwise-conv regions)."""
+    mesh, model_sp, tx, state = _setup(n_devices=4, model=2, sequence_parallel=True)
+    _, model_ref, _, _ = _setup(n_devices=1)  # same init rng → identical params
+    eval_step = make_eval_step(model_sp, blank_id=1, normalize_distill=False)
+    eval_ref = make_eval_step(model_ref, blank_id=1, normalize_distill=False)
+    lam = jnp.asarray([1.0, 0.0], jnp.float32)
+    batch = _batch(B=4, T=36)  # T'=18 does not divide model=2·data=2 evenly
+    with mesh:
+        from ssd_tpu.parallel.partition import shard_state
+
+        sharded = shard_state(mesh, state, fsdp=True)
+        v_sp = float(eval_step(sharded, shard_batch(mesh, batch), lam)["total"])
+    mesh1 = make_mesh(devices=jax.devices()[:1])
+    with mesh1:
+        v1 = float(eval_ref(state, shard_batch(mesh1, batch), lam)["total"])
+    np.testing.assert_allclose(v_sp, v1, rtol=1e-5)
+
+
+def test_sp_train_step_matches_single_device():
+    mesh, model_sp, tx, state = _setup(n_devices=4, model=2, sequence_parallel=True)
+    _, model_ref, tx_ref, state_ref = _setup(n_devices=1)
+    lam = jnp.asarray([1.0, 0.0], jnp.float32)
+    batch = _batch(B=4, T=32)
+    step_sp = make_train_step(model_sp, tx, blank_id=1, normalize_distill=False)
+    step_ref = make_train_step(model_ref, tx_ref, blank_id=1, normalize_distill=False)
+    with mesh:
+        from ssd_tpu.parallel.partition import shard_state
+
+        sharded = shard_state(mesh, state, fsdp=True)
+        _, losses_sp = step_sp(sharded, shard_batch(mesh, batch), lam, jax.random.PRNGKey(3))
+    mesh1 = make_mesh(devices=jax.devices()[:1])
+    with mesh1:
+        _, losses_ref = step_ref(
+            state_ref, shard_batch(mesh1, batch), lam, jax.random.PRNGKey(3)
+        )
+    np.testing.assert_allclose(
+        float(losses_sp["total"]), float(losses_ref["total"]), rtol=1e-5
+    )
+
+
+def test_sp_flag_is_noop_without_model_axis():
+    """A checkpoint trained with parallel.sequence serves on a single device
+    (or a dp-only mesh): the constraints must vanish, output identical."""
+    _, model_sp, _, state = _setup(n_devices=1, sequence_parallel=True)
+    _, model_ref, _, _ = _setup(n_devices=1)
+    b = _batch(B=2, T=32)
+    args = (jnp.asarray(b["emg"]), jnp.asarray(b["emg_lengths"]))
+    vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+    out_sp = model_sp.apply(vars_, *args, train=False)  # no mesh context at all
+    out_ref = model_ref.apply(vars_, *args, train=False)
+    np.testing.assert_array_equal(np.asarray(out_sp[0]), np.asarray(out_ref[0]))
 
 
 # ---------------------------------------------------------------- launch auto-detect
