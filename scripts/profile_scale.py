@@ -62,20 +62,20 @@ def step_flops(B, D, L, H, FFN, K=15, train=True) -> float:
     return 3.0 * fwd if train else fwd
 
 
-def build(scale, B, remat=False, quantize=None, dropout=0.12):
+def build(scale, B, remat=False, quantize=None, dropout=0.12, scan=False):
     D, L, H, FFN = SCALES[scale]
     enc = EncoderConfig(
         input_dim=F, d_model=D, num_layers=L, num_heads=H, ffn_dim=FFN,
         depthwise_conv_kernel_size=15, dropout=dropout, subsample_factor=2,
-        compute_dtype="bfloat16", remat=remat,
+        compute_dtype="bfloat16", remat=remat, scan_layers=scan,
         **({"quantize": quantize} if quantize else {}),
     )
     return SSDModel(encoder_cfg=enc, projection_dim=768, vocab_size=V,
                     ctc_dropout=dropout)
 
 
-def train_variant(scale, B, remat):
-    model = build(scale, B, remat=remat)
+def train_variant(scale, B, remat, scan=False, compile_only=False):
+    model = build(scale, B, remat=remat, scan=scan)
     cfg = {"optim": {"lr": 3e-4, "weight_decay": 1e-2, "clip_grad_norm": 5.0,
                      "grad_accum": 1,
                      "scheduler": {"name": "warmup_hold", "warmup_steps": 800}}}
@@ -122,8 +122,25 @@ def train_variant(scale, B, remat):
     def run_k(st, k):
         return jax.lax.fori_loop(0, k, lambda i, s: one_step(s), st)
 
+    if compile_only:
+        # AOT trace+lower+compile, no execution: the honest scan-vs-unrolled
+        # compile-time comparison runs on a local-XLA backend (CPU), where
+        # compile latency is deterministic (the remote TPU compiler's is not)
+        t0 = time.perf_counter()
+        run_k.lower(state, jnp.int32(2)).compile()
+        print(
+            f"compile {scale:9s} B={B:<3d} {n_params/1e6:7.1f}M params "
+            f"{time.perf_counter()-t0:8.1f} s"
+            f"{'  (remat)' if remat else ''}{'  (scan)' if scan else ''}",
+            flush=True,
+        )
+        return
+    t0 = time.perf_counter()
     state = run_k(state, jnp.int32(2))
     float(jnp.sum(state.step))  # fence
+    compile_s = time.perf_counter() - t0  # NOTE: remote-compiler latency is
+    # minutes-variable for the SAME graph on this rig; compare scan vs
+    # unrolled on a local-XLA host (CPU) for a clean compile-time number
     k = 30
     t0 = time.perf_counter()
     state = run_k(state, jnp.int32(k))
@@ -135,7 +152,8 @@ def train_variant(scale, B, remat):
         f"train {scale:9s} B={B:<3d} {n_params/1e6:7.1f}M params "
         f"{dt*1e3:8.2f} ms/step {B/dt:8.1f} utt/s "
         f"{tf:6.1f} TF/s  MFU {tf/PEAK_BF16_TFLOPS:5.1%}"
-        f"{'  (remat)' if remat else ''}",
+        f"  compile {compile_s:.0f}s"
+        f"{'  (remat)' if remat else ''}{'  (scan)' if scan else ''}",
         flush=True,
     )
 
@@ -184,6 +202,7 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
     remat = "--remat" in args
     infer = "--infer" in args
+    scan = "--scan" in args
     bsz = 32
     if "--b" in args:
         bsz = int(args[args.index("--b") + 1])
@@ -192,4 +211,4 @@ if __name__ == "__main__":
         if infer:
             infer_variant(s, min(bsz, 8) if bsz == 32 else bsz)
         else:
-            train_variant(s, bsz, remat)
+            train_variant(s, bsz, remat, scan, "--compile-only" in args)

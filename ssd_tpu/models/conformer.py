@@ -86,6 +86,13 @@ class EncoderConfig:
     # (see _sp above). Checkpoint-compatible (annotations only, no params);
     # ignored outside a model-parallel mesh. parallel: {sequence: true}.
     sequence_parallel: bool = False
+    # Roll the block stack into one nn.scan'd program: params/batch_stats get
+    # a leading (num_layers,) axis and XLA compiles ONE block body regardless
+    # of depth (compile time O(1) in num_layers — matters for the scaled-up
+    # encoders, where unrolled xl compiles take minutes on the remote
+    # compiler). Math-identical to the unrolled stack; checkpoints convert
+    # both ways via stack_block_tree/unstack_block_tree.
+    scan_layers: bool = False
 
     @property
     def dtype(self):
@@ -339,6 +346,55 @@ class ConformerBlock(nn.Module):
         return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
 
 
+class _ScanBody(nn.Module):
+    """One scan step: carry = activations; layer-stacked params/stats."""
+
+    cfg: EncoderConfig
+    train: bool
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray):
+        block_cls = (
+            nn.remat(ConformerBlock, static_argnums=(3,))
+            if self.cfg.remat
+            else ConformerBlock
+        )
+        return block_cls(self.cfg, name="block")(x, pad_mask, self.train), None
+
+
+def _scan_blocks(cfg: EncoderConfig, train: bool):
+    """nn.scan over the block stack: one compiled body, (L, …) params."""
+    return nn.scan(
+        _ScanBody,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=(nn.broadcast,),  # pad_mask is the same every layer
+        length=cfg.num_layers,
+    )(cfg, train, name="blocks")
+
+
+def stack_block_tree(tree: dict, num_layers: int) -> dict:
+    """Convert an unrolled encoder subtree (``block_0`` … ``block_{L-1}``)
+    to the scan layout (``blocks/block`` with a leading (L,) axis on every
+    leaf). Non-block entries (subsampler, …) pass through unchanged. Works
+    for ``params`` and ``batch_stats`` collections alike."""
+    out = {k: v for k, v in tree.items() if not k.startswith("block_")}
+    blocks = [tree[f"block_{i}"] for i in range(num_layers)]
+    out["blocks"] = {
+        "block": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    }
+    return out
+
+
+def unstack_block_tree(tree: dict, num_layers: int) -> dict:
+    """Inverse of :func:`stack_block_tree`."""
+    out = {k: v for k, v in tree.items() if k != "blocks"}
+    stacked = tree["blocks"]["block"]
+    for i in range(num_layers):
+        out[f"block_{i}"] = jax.tree_util.tree_map(lambda x: x[i], stacked)
+    return out
+
+
 class EMGConformerEncoder(nn.Module):
     """Subsampler + Conformer stack. Returns (hidden, out_lengths)."""
 
@@ -358,9 +414,24 @@ class EMGConformerEncoder(nn.Module):
             lengths = jnp.full((x.shape[0],), x.shape[1] * c.subsample_factor)
         out_lengths = jnp.clip(subsampled_lengths(lengths, c), 0, t_out)
         pad_mask = _length_mask(out_lengths, t_out)
-        block_cls = nn.remat(ConformerBlock, static_argnums=(3,)) if c.remat else ConformerBlock
-        for i in range(c.num_layers):
-            x = block_cls(c, name=f"block_{i}")(x, pad_mask, train)
+        if c.scan_layers:
+            # scan carries must be dtype-stable: blocks emit fp32 (final_ln)
+            # while the subsampler emits compute_dtype. fp32 is the right
+            # uniform carry — under bf16 the unrolled stack runs block_0's
+            # residual adds in bf16 and every later block's in fp32, a mixed
+            # scheme no stable carry reproduces; fp32 everywhere is the
+            # strictly-more-precise resolution (block_0 outputs differ from
+            # unrolled by one bf16 rounding; fp32 compute is bit-identical —
+            # tests/test_scan_layers.py pins both).
+            x, _ = _scan_blocks(c, train)(x.astype(jnp.float32), pad_mask)
+        else:
+            block_cls = (
+                nn.remat(ConformerBlock, static_argnums=(3,))
+                if c.remat
+                else ConformerBlock
+            )
+            for i in range(c.num_layers):
+                x = block_cls(c, name=f"block_{i}")(x, pad_mask, train)
         # leave sequence parallelism: heads are cheap per-position matmuls but
         # the CTC scan consumes full (B, T', V) rows per example
         x = _sp(x, c.sequence_parallel, shard_t=False)

@@ -64,6 +64,7 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         depthwise_impl=enc.get("depthwise_impl", "lax"),
         quantize=enc.get("quantize", "none"),
         sequence_parallel=enc.get("sequence_parallel", False),
+        scan_layers=enc.get("scan_layers", False),
     )
     if encoder_cfg.quantize not in ("none", "int8"):
         raise ValueError(

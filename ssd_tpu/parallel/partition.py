@@ -54,7 +54,22 @@ def _path_names(path) -> list[str]:
 
 
 def _tp_pspec(names: list[str], ndim: int) -> P:
-    """Megatron-style tensor-parallel spec over the ``model`` axis."""
+    """Megatron-style tensor-parallel spec over the ``model`` axis.
+
+    With ``encoder.scan_layers`` the block params live under ``blocks`` with
+    a leading (num_layers,) stack axis; the same rules apply shifted one dim
+    right (the stack axis itself is never tensor-parallel).
+    """
+    stacked = "blocks" in names
+    if stacked:
+        ndim -= 1
+    spec = _tp_pspec_base(names, ndim)
+    if stacked and any(e is not None for e in spec):
+        return P(None, *spec)
+    return spec
+
+
+def _tp_pspec_base(names: list[str], ndim: int) -> P:
     leaf_name = names[-1] if names else ""
 
     if "w1" in names:  # ffn up-projection: column parallel
@@ -94,9 +109,12 @@ def _with_fsdp(spec: P, names: list[str], shape, fsdp_data: int) -> P:
     if not shape or int(np.prod(shape)) < FSDP_MIN_SIZE:
         return spec
     entries = list(spec) + [None] * (len(shape) - len(spec))
+    # under scan_layers dim 0 is the (num_layers,) stack axis: sharding it
+    # would make every scan step's dynamic-slice a cross-chip fetch
+    first = 1 if "blocks" in names else 0
     best = -1
     for d, size in enumerate(shape):
-        if entries[d] is None and size % fsdp_data == 0:
+        if d >= first and entries[d] is None and size % fsdp_data == 0:
             if best < 0 or size > shape[best]:
                 best = d
     if best < 0:
