@@ -93,6 +93,12 @@ class EncoderConfig:
     # compiler). Math-identical to the unrolled stack; checkpoints convert
     # both ways via stack_block_tree/unstack_block_tree.
     scan_layers: bool = False
+    # >0: GPipe pipeline parallelism — the block stack (same stacked
+    # blocks/block layout as scan_layers) runs microbatch-pipelined over the
+    # `model` mesh axis as stages (ssd_tpu/parallel/pipeline.py). Requires
+    # conv_norm: layer; excludes scan_layers/sequence_parallel/tp. Without a
+    # >1 `model` mesh the same checkpoint runs as a plain scan.
+    pipeline_microbatches: int = 0
 
     @property
     def dtype(self):
@@ -414,7 +420,32 @@ class EMGConformerEncoder(nn.Module):
             lengths = jnp.full((x.shape[0],), x.shape[1] * c.subsample_factor)
         out_lengths = jnp.clip(subsampled_lengths(lengths, c), 0, t_out)
         pad_mask = _length_mask(out_lengths, t_out)
-        if c.scan_layers:
+        if c.pipeline_microbatches > 0:
+            from ssd_tpu.parallel.pipeline import (
+                init_stacked_blocks,
+                pipelined_stack,
+            )
+
+            stacked = self.param(
+                "blocks", lambda rng: init_stacked_blocks(c, rng, c.d_model)
+            )
+            key = (
+                self.make_rng("dropout")
+                if train and c.dropout > 0 and self.has_rng("dropout")
+                else None
+            )
+            if self.is_initializing():
+                # init only shapes the params — no need to satisfy the
+                # pipeline's batch-divisibility contract on the dummy batch
+                from ssd_tpu.parallel.pipeline import scan_stack
+
+                x = scan_stack(c, stacked["block"], x, pad_mask, train, key)
+            else:
+                x = pipelined_stack(
+                    c, stacked["block"], x, pad_mask, train, key,
+                    c.pipeline_microbatches,
+                )
+        elif c.scan_layers:
             # scan carries must be dtype-stable: blocks emit fp32 (final_ln)
             # while the subsampler emits compute_dtype. fp32 is the right
             # uniform carry — under bf16 the unrolled stack runs block_0's

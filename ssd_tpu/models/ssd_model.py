@@ -65,12 +65,16 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         quantize=enc.get("quantize", "none"),
         sequence_parallel=enc.get("sequence_parallel", False),
         scan_layers=enc.get("scan_layers", False),
+        pipeline_microbatches=int(enc.get("pipeline_microbatches", 0)),
     )
     if encoder_cfg.quantize not in ("none", "int8"):
         raise ValueError(
             f"model.encoder.quantize must be 'none' or 'int8', "
             f"got {encoder_cfg.quantize!r}"
         )
+    from ssd_tpu.parallel.pipeline import validate_pipeline_config
+
+    validate_pipeline_config(encoder_cfg)
     return SSDModel(
         encoder_cfg=encoder_cfg,
         projection_dim=cfg["model"]["projection_dim"],

@@ -123,16 +123,26 @@ def _with_fsdp(spec: P, names: list[str], shape, fsdp_data: int) -> P:
     return P(*entries)
 
 
-def param_pspec(path, leaf, fsdp_data: int = 0) -> P:
+def param_pspec(path, leaf, fsdp_data: int = 0, pipeline: bool = False) -> P:
     """Partition spec for one TrainState leaf (params or optimizer moments).
 
     ``leaf`` may be a concrete array or a ShapeDtypeStruct (eval_shape).
     ``fsdp_data`` > 1 additionally shards large leaves over the ``data``
-    axis (FSDP); 0/1 reproduces the pure-tp rules.
+    axis (FSDP); 0/1 reproduces the pure-tp rules. ``pipeline=True`` switches
+    the ``model`` axis from tensor-parallel to pipeline-stage semantics: the
+    stacked ``blocks`` leaves shard their (num_layers,) dim 0 over ``model``
+    (each stage holds L/S layers) and no tp spec applies.
     """
     names = _path_names(path)
     shape = tuple(getattr(leaf, "shape", ()) or ())
-    spec = _tp_pspec(names, len(shape))
+    if pipeline:
+        spec = (
+            P(MODEL_AXIS, *([None] * (len(shape) - 1)))
+            if "blocks" in names and shape
+            else P()
+        )
+    else:
+        spec = _tp_pspec(names, len(shape))
     return _with_fsdp(spec, names, shape, fsdp_data)
 
 
@@ -145,21 +155,26 @@ def check_tp_divisibility(cfg_model: dict, model_par: int) -> bool:
     )
 
 
-def state_shardings(mesh: Mesh, abstract_state: Any, fsdp: bool = False):
+def state_shardings(
+    mesh: Mesh, abstract_state: Any, fsdp: bool = False, pipeline: bool = False
+):
     """NamedShardings for a full TrainState pytree (params + batch_stats +
     opt_state + step) from :func:`param_pspec`; non-matching leaves replicate.
-    ``fsdp=True`` additionally shards large leaves over the ``data`` axis."""
+    ``fsdp=True`` additionally shards large leaves over the ``data`` axis;
+    ``pipeline=True`` switches ``model`` to pipeline-stage semantics."""
     fsdp_data = mesh.shape[DATA_AXIS] if fsdp else 0
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
-            mesh, param_pspec(path, leaf, fsdp_data=fsdp_data)
+            mesh, param_pspec(path, leaf, fsdp_data=fsdp_data, pipeline=pipeline)
         ),
         abstract_state,
     )
 
 
-def shard_state(mesh: Mesh, state: Any, fsdp: bool = False):
+def shard_state(mesh: Mesh, state: Any, fsdp: bool = False, pipeline: bool = False):
     """Place an (unsharded) TrainState according to the partition rules."""
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), state, state_shardings(mesh, state, fsdp)
+        lambda x, s: jax.device_put(x, s),
+        state,
+        state_shardings(mesh, state, fsdp, pipeline=pipeline),
     )

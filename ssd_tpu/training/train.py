@@ -328,9 +328,12 @@ def run_train_epoch(
     schedule,
     grad_accum: int,
     stop_flag: Optional[PreemptionGuard] = None,
+    microbatches: int = 1,
 ) -> Tuple[TrainState, Dict[str, float]]:
-    # local row divisor: this process's slice of the data axis
-    n_data = max(1, mesh.shape["data"] // jax.process_count())
+    # local row divisor: this process's slice of the data axis (× the
+    # pipeline microbatch count — each data shard must split into M equal
+    # microbatches inside the pipelined step)
+    n_data = max(1, mesh.shape["data"] // jax.process_count()) * max(1, microbatches)
     lam = jnp.asarray(lambdas, jnp.float32)
     last_losses = None
     n_batches = 0
@@ -377,9 +380,10 @@ def run_train_epoch(
 
 
 def run_eval_epoch(
-    eval_step, state: TrainState, loader: DataLoader, mesh, lambdas, include_teacher
+    eval_step, state: TrainState, loader: DataLoader, mesh, lambdas,
+    include_teacher, microbatches: int = 1,
 ) -> Dict[str, float]:
-    n_data = max(1, mesh.shape["data"] // jax.process_count())
+    n_data = max(1, mesh.shape["data"] // jax.process_count()) * max(1, microbatches)
     lam = jnp.asarray(lambdas, jnp.float32)
     totals, ctcs, distills = [], [], []
     for batch in prefetch(loader):
@@ -591,7 +595,16 @@ def train_from_config(
 
         mesh = mesh_from_config(cfg)
         model_par = mesh.shape["model"]
-        if model_par > 1 and not check_tp_divisibility(cfg["model"], model_par):
+        # GPipe pipeline parallelism: parallel.pipeline_microbatches > 0
+        # repurposes the `model` axis as pipeline stages (parallel/pipeline.py)
+        pp_micro = int((cfg.get("parallel") or {}).get("pipeline_microbatches", 0))
+        if pp_micro > 0:
+            cfg["model"]["encoder"]["pipeline_microbatches"] = pp_micro
+        pp_micro = int(cfg["model"]["encoder"].get("pipeline_microbatches", 0))
+        pipeline = pp_micro > 0
+        if model_par > 1 and not pipeline and not check_tp_divisibility(
+            cfg["model"], model_par
+        ):
             raise ValueError(
                 f"parallel.model={model_par} must divide ffn_dim and num_heads "
                 f"({cfg['model']['encoder']['ffn_dim']}, {cfg['model']['encoder']['num_heads']})"
@@ -611,9 +624,11 @@ def train_from_config(
                 )
             cfg["model"]["encoder"]["sequence_parallel"] = True
         logger.info(
-            "Mesh: %s over %d device(s)%s%s",
+            "Mesh: %s over %d device(s)%s%s%s",
             dict(mesh.shape), mesh.size, " (fsdp)" if fsdp else "",
             " (seq-parallel)" if seq_par and model_par > 1 else "",
+            f" (pipeline ×{model_par}, {pp_micro} microbatches)"
+            if pipeline and model_par > 1 else "",
         )
 
         model = build_model(cfg, input_dim=input_dim, vocab_size=vocab.size)
@@ -666,7 +681,7 @@ def train_from_config(
         # shards over `model` (ffn + attention heads, optimizer moments included),
         # optional FSDP shards over `data`, everything else replicated — same
         # rules the driver dryrun exercises
-        state = shard_state(mesh, state, fsdp=fsdp)
+        state = shard_state(mesh, state, fsdp=fsdp, pipeline=pipeline)
 
         base_weights = LossWeights(
             lambda_distill=float(cfg["loss"]["lambda_distill"]),
@@ -719,6 +734,7 @@ def train_from_config(
                     schedule,
                     grad_accum,
                     stop_flag=guard,
+                    microbatches=pp_micro if pipeline else 1,
                 )
                 if _stop_requested_globally(guard):
                     # Preemption: save a resumable `last` labeled with the LAST
@@ -749,7 +765,8 @@ def train_from_config(
                     state = flush_partial_accumulation(state, flush_step, grad_accum)
                 train_time = time.time() - start
                 val_losses = run_eval_epoch(
-                    eval_step, state, val_loader, mesh, lambdas, include_teacher
+                    eval_step, state, val_loader, mesh, lambdas, include_teacher,
+                    microbatches=pp_micro if pipeline else 1,
                 )
                 logger.info(
                     "Epoch %d done in %.1fs | val total %.4f (ctc %.4f, distill %.4f) | λ_ctc %.2f λ_distill %.2f",
