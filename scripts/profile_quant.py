@@ -42,13 +42,21 @@ def main():
     # identical param trees: init once, reuse across variants
     variables = flagship().init(jax.random.PRNGKey(0), emg, lengths, train=False)
 
+    from ssd_tpu.ops.quant import prequantize_tree
+
+    prequant_vars = {
+        "params": prequantize_tree(variables["params"], jnp.bfloat16),
+        "batch_stats": variables["batch_stats"],
+    }
     results = {}
     for name, kw in [
         ("fp32", {}),
         ("bf16", {"compute_dtype": "bfloat16"}),
         ("bf16+int8", {"compute_dtype": "bfloat16", "quantize": "int8"}),
+        ("bf16+int8pre", {"compute_dtype": "bfloat16", "quantize": "int8_prequant"}),
     ]:
         model = flagship(**kw)
+        run_vars = prequant_vars if kw.get("quantize") == "int8_prequant" else variables
 
         @jax.jit
         def fwd(v, x, l):
@@ -57,7 +65,7 @@ def main():
         def run_n(n):
             out = None
             for _ in range(n):
-                out = fwd(variables, emg, lengths)
+                out = fwd(run_vars, emg, lengths)
             float(out[0][0, 0, 0])  # scalar readback = fence
 
         t0 = time.time()

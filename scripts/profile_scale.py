@@ -169,8 +169,19 @@ def infer_variant(scale, B):
     variables = jax.device_put(variables)  # params as jit ARGUMENTS, not
     # closed-over constants — inlined 166M-param constants blow past the
     # remote compiler's HLO upload size limit (HTTP 413)
-    for name, q in [("bf16", None), ("bf16+int8", "int8")]:
+    from ssd_tpu.ops.quant import prequantize_tree
+
+    prequant_vars = {
+        "params": prequantize_tree(variables["params"], jnp.bfloat16),
+        "batch_stats": variables["batch_stats"],
+    }
+    for name, q in [
+        ("bf16", None),
+        ("bf16+int8", "int8"),
+        ("bf16+int8pre", "int8_prequant"),
+    ]:
         model = build(scale, B, quantize=q)
+        run_vars = prequant_vars if q == "int8_prequant" else variables
 
         @jax.jit
         def fwd(variables, emg, lengths):
@@ -182,7 +193,7 @@ def infer_variant(scale, B):
         def run_n(n):
             x = emg
             for _ in range(n):
-                lp = fwd(variables, x, lengths)
+                lp = fwd(run_vars, x, lengths)
                 # chain: feed a slice of the output back so calls serialize
                 x = x.at[:, 0, 0].add(lp[:, 0, 0] * 1e-9)
             return float(jnp.sum(x[0, 0, 0]))

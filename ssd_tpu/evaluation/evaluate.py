@@ -137,6 +137,12 @@ def evaluate_checkpoint(
     model = build_model(cfg, input_dim=int(input_dim), vocab_size=vocab.size)
     payload = load_checkpoint(ckpt_path)
     params, batch_stats = payload["params"], payload["batch_stats"]
+    if enc_cfg.get("quantize") == "int8_prequant":
+        # weight-only pre-quantization: float checkpoint kernels → int8 +
+        # per-channel scales, once at load (ops/quant.py)
+        from ssd_tpu.ops.quant import prequantize_tree
+
+        params = prequantize_tree(params, model.encoder_cfg.dtype)
     forward = make_forward(model, featurize_cfg=feat_cfg)
 
     mesh = None
@@ -251,11 +257,14 @@ def _parse_args() -> argparse.Namespace:
     )
     p.add_argument(
         "--quantize",
-        choices=["none", "int8"],
+        choices=["none", "int8", "int8_prequant"],
         help="Inference-time dense quantization (ops/quant.py): int8 serves "
         "any float checkpoint W8A8 on the FFN/pointwise matmuls — same "
-        "param tree. Default: the checkpoint config's encoder.quantize. "
-        "Measured SLOWER than bf16 at the flagship's shapes (docs/PERF.md).",
+        "param tree; int8_prequant converts the kernels once at load "
+        "(int8 + per-channel scales) so the forward pays only the "
+        "activation-side quantization. Default: the checkpoint config's "
+        "encoder.quantize. Measured at flagship/large/xl shapes in "
+        "docs/PERF.md.",
     )
     p.add_argument(
         "--lm-backend",

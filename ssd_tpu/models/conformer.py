@@ -164,6 +164,30 @@ def _dense_dot_general(quantize: str, train: bool):
     return None  # flax default (lax.dot_general)
 
 
+def _dense_cls(quantize: str, train: bool, dtype):
+    """Constructor for the FFN / conv-pointwise Dense layers.
+
+    ``int8``: flax Dense with the dynamic W8A8 ``dot_general`` hook (same
+    param tree as float). ``int8_prequant``: QuantDense over the
+    weight-prequantized tree ``ops.quant.prequantize_tree`` produces —
+    int8 kernel + per-channel scale loaded once, the forward pays only the
+    activation-side quantization. Inference-only either way.
+    """
+    if quantize == "int8_prequant":
+        if train:
+            raise ValueError(
+                "quantize=int8_prequant is inference-only (the param tree "
+                "holds int8 kernels); train with quantize: none"
+            )
+        from ssd_tpu.ops.quant import QuantDense
+
+        return lambda features, name: QuantDense(features, dtype=dtype, name=name)
+    dg = _dense_dot_general(quantize, train)
+    return lambda features, name: nn.Dense(
+        features, dtype=dtype, dot_general=dg, name=name
+    )
+
+
 class _FeedForward(nn.Module):
     d_model: int
     ffn_dim: int
@@ -174,16 +198,16 @@ class _FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        dg = _dense_dot_general(self.quantize, train)
+        dense = _dense_cls(self.quantize, train, self.dtype)
         sp = self.sequence_parallel
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
-        x = nn.Dense(self.ffn_dim, dtype=self.dtype, dot_general=dg, name="w1")(x)
+        x = dense(self.ffn_dim, name="w1")(x)
         # hidden sharded on the ffn dim (column-parallel w1): the all-gather
         # of T happens on the d_model-wide input, not this ffn_dim-wide tensor
         x = _sp(x, sp, shard_t=False, shard_f=True)
         x = nn.silu(x)
         x = FastDropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.d_model, dtype=self.dtype, dot_general=dg, name="w2")(x)
+        x = dense(self.d_model, name="w2")(x)
         # back to sequence-sharded: row-parallel w2's psum becomes a
         # reduce-scatter, and the trailing dropout runs 1/model-th per chip
         x = _sp(x, sp)
@@ -251,10 +275,10 @@ class _ConvModule(nn.Module):
         # the whole conv module is per-position (pointwise matmuls, GLU,
         # BatchNorm psums over the sharded axis, SiLU) except the depthwise
         # conv's K-1 halo — it runs entirely sequence-sharded
-        dg = _dense_dot_general(self.quantize, train)
+        dense = _dense_cls(self.quantize, train, self.dtype)
         x = _sp(x, self.sequence_parallel)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
-        x = nn.Dense(2 * self.d_model, dtype=self.dtype, dot_general=dg, name="pw1")(x)
+        x = dense(2 * self.d_model, name="pw1")(x)
         a, b = jnp.split(x, 2, axis=-1)
         x = a * nn.sigmoid(b)  # GLU
         # zero padded frames so the depthwise conv sees the same zeros a
@@ -284,7 +308,7 @@ class _ConvModule(nn.Module):
         else:
             x = nn.LayerNorm(dtype=jnp.float32, name="cn")(x)
         x = nn.silu(x)
-        x = nn.Dense(self.d_model, dtype=self.dtype, dot_general=dg, name="pw2")(x)
+        x = dense(self.d_model, name="pw2")(x)
         x = _sp(x, self.sequence_parallel)
         return FastDropout(self.dropout, deterministic=not train)(x)
 

@@ -67,10 +67,10 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         scan_layers=enc.get("scan_layers", False),
         pipeline_microbatches=int(enc.get("pipeline_microbatches", 0)),
     )
-    if encoder_cfg.quantize not in ("none", "int8"):
+    if encoder_cfg.quantize not in ("none", "int8", "int8_prequant"):
         raise ValueError(
-            f"model.encoder.quantize must be 'none' or 'int8', "
-            f"got {encoder_cfg.quantize!r}"
+            f"model.encoder.quantize must be 'none', 'int8', or "
+            f"'int8_prequant', got {encoder_cfg.quantize!r}"
         )
     from ssd_tpu.parallel.pipeline import validate_pipeline_config
 

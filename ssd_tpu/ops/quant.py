@@ -79,3 +79,112 @@ def int8_dot_general(
         (1,) * (acc.ndim - (rhs.ndim - 1)) + rhs.shape[1:]
     )
     return out.astype(out_dtype)
+
+
+# --------------------------------------------------------------- prequantized
+# Weight-only pre-quantization (``model.encoder.quantize: int8_prequant``):
+# the dynamic path above re-quantizes the full weight matrix on every call
+# (measured ~1.5 ms/fwd at flagship scale, docs/PERF.md); here eligible
+# kernels are converted ONCE at load time — int8 kernel + per-output-channel
+# fp32 scale live in the (engine-side) param tree — and the forward pays only
+# the activation-side dynamic quantization. Same math as the dynamic path
+# (the kernel is quantized with the identical formula, after the same
+# compute-dtype cast flax Dense would apply), so outputs match it exactly.
+
+
+def prequantize_kernel(kernel: jnp.ndarray, compute_dtype=None):
+    """(in, out) or stacked (L, in, out) float kernel → (int8 q, fp32 scale).
+
+    ``compute_dtype`` replays the cast flax ``nn.Dense`` applies before its
+    ``dot_general`` (bf16 models quantize the bf16-cast weights), keeping the
+    prequantized path bit-compatible with the dynamic one.
+    """
+    if compute_dtype is not None:
+        kernel = kernel.astype(compute_dtype)
+    axis = kernel.ndim - 2  # contraction dim: 0 for 2-D, 1 for stacked 3-D
+    q, scale = _quantize_per_axis(kernel, axis=axis)
+    return q, jnp.squeeze(scale, axis=axis).astype(jnp.float32)
+
+
+def int8_prequant_dot(x: jnp.ndarray, q_kernel: jnp.ndarray, scale: jnp.ndarray):
+    """``x @ dequant(q_kernel)`` via int8×int8 MXU: dynamic per-token
+    activation quantization against a pre-quantized (in, out) kernel."""
+    x_q, x_s = _quantize_per_axis(x, axis=-1)
+    acc = jax.lax.dot_general(
+        x_q, q_kernel, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * x_s * scale.reshape(
+        (1,) * (acc.ndim - 1) + (scale.shape[-1],)
+    )
+    return out
+
+
+# Dense kernels the int8 hook covers (conformer FFN + conv pointwise): the
+# attention projections and the subsampler stay float (small share of FLOPs,
+# and MHA's einsum contraction isn't the Dense pattern).
+QUANT_ELIGIBLE = ("w1", "w2", "pw1", "pw2")
+
+
+class QuantDense:
+    """flax Dense drop-in for the ``int8_prequant`` layout.
+
+    Declares ``kernel`` (int8), ``scale`` (fp32 per output channel), and
+    ``bias`` — the tree :func:`prequantize_tree` produces from a float
+    checkpoint. Defined lazily to keep quant.py import-light."""
+
+    def __new__(cls, features, dtype=None, name=None):
+        import flax.linen as nn
+
+        class _QuantDense(nn.Module):
+            features: int
+            dtype: object = jnp.float32
+
+            @nn.compact
+            def __call__(self, x):
+                in_dim = x.shape[-1]
+                q = self.param(
+                    "kernel",
+                    lambda rng: jnp.zeros((in_dim, self.features), jnp.int8),
+                )
+                scale = self.param(
+                    "scale", lambda rng: jnp.ones((self.features,), jnp.float32)
+                )
+                bias = self.param(
+                    "bias", lambda rng: jnp.zeros((self.features,), jnp.float32)
+                )
+                x = x.astype(self.dtype)
+                y = int8_prequant_dot(x, q, scale).astype(self.dtype)
+                return y + bias.astype(self.dtype)
+
+        return _QuantDense(features=features, dtype=dtype or jnp.float32, name=name)
+
+
+def prequantize_tree(params, compute_dtype=None):
+    """Convert every eligible Dense ``kernel`` in a float param tree to the
+    ``int8_prequant`` layout (``kernel``→int8, new ``scale`` leaf). Works on
+    unrolled, scanned/stacked, and pipelined trees alike (the stacked (L, in,
+    out) kernels quantize per layer per output channel)."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if (
+                name in QUANT_ELIGIBLE
+                and isinstance(child, dict)
+                and "kernel" in child
+                and getattr(child["kernel"], "ndim", 0) in (2, 3)
+            ):
+                q, scale = prequantize_kernel(child["kernel"], compute_dtype)
+                out[name] = {
+                    **{k: v for k, v in child.items() if k != "kernel"},
+                    "kernel": q,
+                    "scale": scale,
+                }
+            else:
+                out[name] = walk(dict(child)) if isinstance(child, dict) else child
+        return out
+
+    return walk(dict(params))

@@ -323,11 +323,12 @@ def main() -> None:
         "SSD_COMPILE_CACHE) — server restarts skip warmup recompiles.",
     )
     p.add_argument(
-        "--quantize", choices=["none", "int8"], default=None,
+        "--quantize", choices=["none", "int8", "int8_prequant"], default=None,
         help="Inference-time dense quantization: int8 serves any float "
-        "checkpoint W8A8 on the FFN/pointwise matmuls. Pays off only when "
-        "dense FLOPs dominate; measured SLOWER than bf16 at the flagship's "
-        "shapes (docs/PERF.md).",
+        "checkpoint W8A8 on the FFN/pointwise matmuls; int8_prequant "
+        "converts the kernels once at load so the forward pays only "
+        "activation-side quantization. Pays off only when dense FLOPs "
+        "dominate (docs/PERF.md).",
     )
     args = p.parse_args()
     server = serve(

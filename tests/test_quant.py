@@ -116,6 +116,94 @@ def test_quantized_inference_close_to_float():
     assert corr > 0.999, corr
 
 
+# -------------------------------------------------- weight pre-quantization
+def test_prequant_dot_matches_dynamic():
+    """int8_prequant_dot on a prequantized kernel computes the same math as
+    the dynamic path (identical quantization formulas, ordered identically)."""
+    from ssd_tpu.ops.quant import int8_prequant_dot, prequantize_kernel
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(6, 32, 64)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(64, 48)) / 8.0).astype(np.float32))
+    dyn = int8_dot_general(x, w, (((2,), (0,)), ((), ())))
+    q, s = prequantize_kernel(w)
+    pre = int8_prequant_dot(x, q, s)
+    np.testing.assert_allclose(np.asarray(dyn), np.asarray(pre), rtol=1e-6, atol=1e-6)
+
+
+def test_prequant_model_matches_dynamic_int8():
+    """Full model: quantize=int8_prequant over the converted tree must equal
+    quantize=int8 over the float tree (bit-compatible by construction)."""
+    from ssd_tpu.ops.quant import prequantize_tree
+
+    m_fp, m_q = _tiny_models()
+    m_pre = SSDModel(
+        encoder_cfg=EncoderConfig(
+            input_dim=16, d_model=32, num_layers=2, num_heads=4, ffn_dim=64,
+            depthwise_conv_kernel_size=7, dropout=0.0, subsample_factor=2,
+            quantize="int8_prequant",
+        ),
+        projection_dim=8, vocab_size=7,
+    )
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 24, 16)).astype(np.float32))
+    lens = jnp.asarray([24, 18])
+    variables = m_fp.init(jax.random.PRNGKey(0), x, lens, train=False)
+    lp_dyn, len_dyn, _ = m_q.apply(variables, x, lens, train=False)
+
+    pre_vars = {
+        "params": prequantize_tree(variables["params"]),
+        "batch_stats": variables["batch_stats"],
+    }
+    # converted tree shape-matches the prequant model's own init
+    init_pre = m_pre.init(jax.random.PRNGKey(0), x, lens, train=False)
+    t_conv = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), pre_vars["params"])
+    t_init = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), init_pre["params"])
+    assert t_conv == t_init
+
+    lp_pre, len_pre, _ = m_pre.apply(pre_vars, x, lens, train=False)
+    np.testing.assert_array_equal(np.asarray(len_dyn), np.asarray(len_pre))
+    np.testing.assert_allclose(
+        np.asarray(lp_dyn), np.asarray(lp_pre), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_prequant_stacked_tree():
+    """prequantize_tree handles the scan_layers stacked (L, in, out) kernels
+    (per-layer per-channel scales)."""
+    from ssd_tpu.ops.quant import prequantize_kernel, prequantize_tree
+
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.normal(size=(3, 16, 8)).astype(np.float32))
+    tree = {"blocks": {"block": {"ffn1": {"w1": {"kernel": w, "bias": jnp.zeros((3, 8))}}}}}
+    out = prequantize_tree(tree)
+    leaf = out["blocks"]["block"]["ffn1"]["w1"]
+    assert leaf["kernel"].dtype == jnp.int8 and leaf["kernel"].shape == (3, 16, 8)
+    assert leaf["scale"].shape == (3, 8)
+    q0, s0 = prequantize_kernel(w[0])
+    np.testing.assert_array_equal(np.asarray(leaf["kernel"][0]), np.asarray(q0))
+    np.testing.assert_allclose(np.asarray(leaf["scale"][0]), np.asarray(s0))
+
+
+def test_prequant_rejects_training():
+    m_pre = SSDModel(
+        encoder_cfg=EncoderConfig(
+            input_dim=16, d_model=32, num_layers=1, num_heads=4, ffn_dim=64,
+            depthwise_conv_kernel_size=7, dropout=0.0, subsample_factor=2,
+            quantize="int8_prequant",
+        ),
+        projection_dim=8, vocab_size=7,
+    )
+    x = jnp.zeros((2, 24, 16))
+    lens = jnp.asarray([24, 20])
+    variables = m_pre.init(jax.random.PRNGKey(0), x, lens, train=False)
+    with pytest.raises(ValueError, match="inference-only"):
+        m_pre.apply(
+            variables, x, lens, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+
+
 def test_build_model_rejects_unknown_quantize():
     cfg = {
         "model": {
