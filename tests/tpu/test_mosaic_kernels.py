@@ -189,3 +189,29 @@ def test_device_lm_matches_host_oracle_on_chip():
     want = beam_search_lm_batch(lp, lengths, vocab, lm, **kwargs)
     got = beam_decode_lm_device(lp, lengths, vocab, table, token_top_k=16, **kwargs)
     assert got == want
+
+
+# ------------------------------------------------------------ int8 (MXU)
+def test_int8_paths_on_chip():
+    """The int8 MXU path (dynamic W8A8 and prequantized weights) compiled on
+    the chip: both must agree with each other near-exactly (same math) and
+    with fp32 within symmetric-int8 tolerance."""
+    from ssd_tpu.ops.quant import (
+        int8_dot_general,
+        int8_prequant_dot,
+        prequantize_kernel,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(96, 288)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(288, 512)) / 17.0).astype(np.float32))
+    dims = (((1,), (0,)), ((), ()))
+
+    dyn = np.asarray(jax.jit(lambda a, b: int8_dot_general(a, b, dims))(x, w))
+    q, s = prequantize_kernel(w)
+    pre = np.asarray(jax.jit(int8_prequant_dot)(x, q, s))
+    ref = np.asarray(x) @ np.asarray(w)
+
+    np.testing.assert_allclose(dyn, pre, rtol=1e-5, atol=1e-5)
+    rel = np.abs(dyn - ref) / (np.abs(ref).max() + 1e-9)
+    assert rel.max() < 0.02, rel.max()
