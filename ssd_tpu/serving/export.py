@@ -72,12 +72,19 @@ def export_checkpoint(
     sample_lengths: Sequence[int] = (SAMPLE_BUCKET, 4 * SAMPLE_BUCKET),
     vocab_path: Optional[Path] = None,
     blank_bias: float = 0.0,
+    quantize: Optional[str] = None,
 ) -> Path:
-    """Export one serialized function per (batch, samples) bucket."""
+    """Export one serialized function per (batch, samples) bucket.
+
+    ``quantize="int8_prequant"`` embeds the weight-prequantized tree (int8
+    kernels + scales) — the artifact's dense weights shrink ~4× vs fp32 and
+    the exported forward pays only activation-side quantization.
+    """
     from jax import export as jexport
 
     engine = InferenceEngine.from_checkpoint(
-        Path(ckpt_path), vocab_path=vocab_path, decoder="greedy"
+        Path(ckpt_path), vocab_path=vocab_path, decoder="greedy",
+        quantize=quantize,
     )
     channels = int(engine.cfg["model"]["encoder"]["input_dim"]) // engine.feat_cfg.n_mels
     out_dir = Path(out_dir)
@@ -110,6 +117,7 @@ def export_checkpoint(
         "jax_version": jax.__version__,
         "checkpoint": str(ckpt_path),
         "decoder": "greedy",
+        "quantize": quantize or "none",
     }
     (out_dir / _MANIFEST).write_text(json.dumps(manifest, indent=2))
     logger.info("wrote %s (%d buckets)", out_dir / _MANIFEST, len(buckets))
@@ -193,11 +201,17 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         help=f"raw-sample buckets (engine convention: multiples of {SAMPLE_BUCKET})",
     )
     p.add_argument("--blank-bias", type=float, default=0.0)
+    p.add_argument(
+        "--quantize", choices=["none", "int8", "int8_prequant"], default=None,
+        help="Quantize the exported forward (int8_prequant embeds int8 "
+        "kernels + scales — ~4× smaller dense weights than fp32).",
+    )
     args = p.parse_args(argv)
     export_checkpoint(
         args.checkpoint, args.out,
         batch_sizes=args.batch_sizes, sample_lengths=args.sample_lengths,
         vocab_path=args.vocab, blank_bias=args.blank_bias,
+        quantize=None if args.quantize in (None, "none") else args.quantize,
     )
 
 

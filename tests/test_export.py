@@ -91,6 +91,30 @@ def test_cli(tmp_path, ckpt):
     assert len(hyp) == 1 and isinstance(hyp[0], str)
 
 
+def test_export_quantized_prequant(tmp_path, ckpt):
+    """--quantize int8_prequant exports a working artifact whose hypotheses
+    match the live int8-dynamic engine (same math, prequantized weights)."""
+    from ssd_tpu.serving import engine as engmod
+    from ssd_tpu.serving.export import ExportedTranscriber, main
+
+    out = tmp_path / "artifact_q"
+    main([
+        "--checkpoint", str(ckpt), "--out", str(out),
+        "--batch-sizes", "1", "--sample-lengths", str(BUCKET),
+        "--quantize", "int8_prequant",
+    ])
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["quantize"] == "int8_prequant"
+    t = ExportedTranscriber.load(out)
+    rng = np.random.default_rng(3)
+    emg = [_emg(rng, 200)]
+    got = t.transcribe(emg)
+    want = engmod.InferenceEngine.from_checkpoint(
+        ckpt, decoder="greedy", quantize="int8"
+    ).transcribe(emg)
+    assert got == want
+
+
 def test_platform_mismatch_gives_clear_error(exported, tmp_path, monkeypatch):
     import shutil
 
