@@ -455,6 +455,13 @@ def train_from_config(
     the reference, which always restarts at epoch 1 (docs/PARITY.md);
     best-checkpoint tracking restarts from the resume point.
     """
+    if cfg["model"]["encoder"].get("quantize") == "int8_prequant":
+        # fail before data loading: the prequant tree holds int8 kernels
+        # (quantize: int8 trains float — its forward gates on train=False)
+        raise ValueError(
+            "model.encoder.quantize: int8_prequant is inference-only; "
+            "train with quantize: none (or int8, which trains float)"
+        )
     rng = set_seed(cfg["logging"].get("seed", 42))
     vocab = Vocab.from_json(Path(cfg["data"]["vocab"]))
     spec_cfg, chan_cfg = _augment_cfgs(cfg)

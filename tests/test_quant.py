@@ -3,6 +3,8 @@ inference-only gating, and end-to-end quality on the learnable synthetic
 corpus. The reference has no quantized path; this guards the TPU-native
 extension (``ops/quant.py``, ``model.encoder.quantize: int8``)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -202,6 +204,17 @@ def test_prequant_rejects_training():
             variables, x, lens, train=True, mutable=["batch_stats"],
             rngs={"dropout": jax.random.PRNGKey(1)},
         )
+
+
+def test_train_cli_rejects_prequant_early():
+    from ssd_tpu.training.train import train_from_config
+
+    cfg = {
+        "model": {"encoder": {"quantize": "int8_prequant"}},
+        "logging": {}, "data": {},
+    }
+    with pytest.raises(ValueError, match="inference-only"):
+        train_from_config(cfg, Path("/tmp/should_not_be_created"))
 
 
 def test_build_model_rejects_unknown_quantize():
