@@ -149,6 +149,48 @@ def test_pipeline_train_step_dp_pp():
     assert np.isfinite(float(losses["total"]))
 
 
+def test_pipeline_composes_with_grad_accum():
+    """optax.MultiSteps' accumulated grads embed the param paths, so the
+    pipeline partition rules stage-shard them too; two micro-steps must
+    apply exactly one optimizer update."""
+    from ssd_tpu.models.ssd_model import SSDModel
+    from ssd_tpu.training.schedules import build_optimizer
+    from ssd_tpu.training.train import init_state, make_train_step
+
+    enc = EncoderConfig(**CFG, pipeline_microbatches=2)
+    model = SSDModel(encoder_cfg=enc, projection_dim=12, vocab_size=48)
+    cfg = {"optim": {"lr": 1e-3, "weight_decay": 0.0, "clip_grad_norm": 0.0,
+                     "grad_accum": 2}}
+    tx, _ = build_optimizer(cfg, 10)
+    state = init_state(model, tx, 16, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, T, S = 8, 32, 6
+    batch = {
+        "emg": rng.normal(size=(B, T, 16)).astype(np.float32),
+        "emg_lengths": np.full((B,), T, np.int32),
+        "tokens": rng.integers(2, 48, size=(B, S)).astype(np.int32),
+        "token_lengths": np.full((B,), S, np.int32),
+        "weight": np.ones((B,), np.float32),
+    }
+    lam = jnp.asarray([1.0, 0.0], jnp.float32)
+    step = make_train_step(model, tx, blank_id=1, normalize_distill=False)
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    with mesh:
+        st = shard_state(mesh, state, pipeline=True)
+        w0 = np.asarray(st.params["encoder"]["blocks"]["block"]["ffn1"]["w1"]["kernel"])
+        st, l1 = step(st, shard_batch(mesh, batch), lam, jax.random.PRNGKey(3))
+        w_mid = np.asarray(
+            st.params["encoder"]["blocks"]["block"]["ffn1"]["w1"]["kernel"]
+        )
+        np.testing.assert_array_equal(w0, w_mid)  # first micro-step: no update
+        st, l2 = step(st, shard_batch(mesh, batch), lam, jax.random.PRNGKey(4))
+        w_end = np.asarray(
+            st.params["encoder"]["blocks"]["block"]["ffn1"]["w1"]["kernel"]
+        )
+    assert not np.array_equal(w_mid, w_end)  # second micro-step applies
+    assert np.isfinite(float(l2["total"]))
+
+
 def test_pipeline_dropout_smoke():
     """Train mode with dropout: streams differ from the fallback by design;
     the pipelined step must still run and stay finite."""

@@ -240,3 +240,19 @@ def test_data_parallel_serving_matches_single_device(ckpt):
     want = single.transcribe(emgs)
     got = dp.transcribe(emgs)
     assert got == want
+
+
+def test_data_parallel_prequant_serving(ckpt):
+    """DP serving composes with weight pre-quantization: the converted int8
+    tree replicates over the mesh and hypotheses match the single-device
+    dynamic-int8 engine."""
+    from ssd_tpu.serving import engine as engmod
+
+    cfg, run_dir = ckpt
+    dyn = engmod.InferenceEngine.from_checkpoint(run_dir / "best", quantize="int8")
+    dp_pre = engmod.InferenceEngine.from_checkpoint(
+        run_dir / "best", quantize="int8_prequant", data_parallel=True
+    )
+    rng = np.random.default_rng(10)
+    emgs = [rng.normal(size=(200 + 25 * i, 2)).astype(np.float32) for i in range(3)]
+    assert dp_pre.transcribe(emgs) == dyn.transcribe(emgs)
