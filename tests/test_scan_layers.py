@@ -143,6 +143,28 @@ def test_scan_matches_unrolled_bf16():
     assert np.sqrt(np.mean((u - s) ** 2)) < 0.01, "drift beyond bf16 rounding"
 
 
+def test_scan_composes_with_sequence_parallel():
+    """sp sharding constraints inside the nn.scan body: tp×sp mesh output
+    equals the no-mesh scanned output."""
+    from ssd_tpu.parallel.mesh import make_mesh
+
+    cfg = EncoderConfig(**CFG, scan_layers=True, sequence_parallel=True)
+    model = EMGConformerEncoder(cfg)
+    rng = np.random.default_rng(0)
+    emg = jnp.asarray(rng.normal(size=(4, 32, 16)).astype(np.float32))
+    lengths = jnp.asarray([32, 23, 30, 17])
+    variables = model.init(jax.random.PRNGKey(0), emg, lengths, train=False)
+    out_ref, _ = model.apply(variables, emg, lengths, train=False)  # no mesh
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    with mesh:
+        out_sp, _ = jax.jit(lambda v, e, l: model.apply(v, e, l, train=False))(
+            variables, emg, lengths
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_ref), np.asarray(out_sp), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_converter_roundtrip():
     unrolled, _ = _models()
     emg, lengths = _data()
