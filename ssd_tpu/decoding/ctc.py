@@ -61,13 +61,16 @@ def build_beam_decoder(
     lm_table = None
     if lm_path is not None:
         if Path(lm_path).exists():
-            from ssd_tpu.decoding.lm import NGramLM
+            if host_lm:
+                from ssd_tpu.decoding.lm import NGramLM
 
-            lm = NGramLM.from_arpa(Path(lm_path))
-            if not host_lm:
-                from ssd_tpu.decoding.device_lm import pack_lm
+                lm = NGramLM.from_arpa(Path(lm_path))
+            else:
+                # sidecar-cached packed table: ARPA parse+hash+pack once per
+                # (file, vocab, format), np.load afterwards
+                from ssd_tpu.decoding.device_lm import load_packed_lm
 
-                lm_table = pack_lm(lm, vocab)
+                lm_table = load_packed_lm(Path(lm_path), vocab)
         else:
             # deliberate lenient skip (reference parity: orchestrate grids
             # run before the LM stage exists) — but say so loudly

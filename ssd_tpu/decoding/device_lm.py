@@ -25,6 +25,7 @@ Parity with the host search is tested in ``tests/test_device_lm.py``.
 from __future__ import annotations
 
 import functools
+import logging
 import math
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
@@ -145,6 +146,72 @@ def pack_lm(lm: NGramLM, vocab: Vocab) -> DeviceLMTable:
                 order=lm.order, size=size,
             )
         nbuckets *= 2
+
+
+# ----------------------------------------------------------- packed cache
+_PACK_FORMAT = 1  # bump when the table layout or hash scheme changes
+
+
+def _vocab_digest(vocab: Vocab) -> str:
+    import hashlib
+    import json
+
+    return hashlib.md5(json.dumps(list(vocab.tokens)).encode()).hexdigest()
+
+
+def load_packed_lm(path, vocab: Vocab, cache: bool = True) -> DeviceLMTable:
+    """ARPA → :class:`DeviceLMTable`, with a sidecar ``.packed.npz`` cache.
+
+    Parsing + hashing + bucket packing is pure host work that scales with the
+    LM (minutes for production-size ARPA files); the packed table is five
+    flat arrays, so serving/eval cold starts pay it once per (file, vocab,
+    format) and then ``np.load`` in milliseconds. Cache staleness is keyed on
+    the ARPA's size+mtime and the vocab digest; a write failure (read-only
+    model dir) degrades to pack-every-time with a warning.
+    """
+    from pathlib import Path as _Path
+
+    path = _Path(path)
+    cache_path = path.with_name(path.name + ".packed.npz")
+    stat = path.stat()
+    meta = np.asarray(
+        [_PACK_FORMAT, int(_BUCKET), stat.st_size, stat.st_mtime_ns], np.int64
+    )
+    digest = _vocab_digest(vocab)
+    if cache and cache_path.exists():
+        try:
+            z = np.load(cache_path, allow_pickle=False)
+            if (
+                np.array_equal(z["meta"], meta)
+                and str(z["vocab_digest"]) == digest
+            ):
+                return DeviceLMTable(
+                    keys1=z["keys1"], keys2=z["keys2"], used=z["used"],
+                    logprob=z["logprob"], backoff=z["backoff"],
+                    order=int(z["order"]), size=int(z["size"]),
+                )
+            logging.getLogger(__name__).info(
+                "stale packed-LM cache %s — repacking", cache_path
+            )
+        except Exception as exc:  # corrupt cache: repack
+            logging.getLogger(__name__).warning(
+                "unreadable packed-LM cache %s (%s) — repacking", cache_path, exc
+            )
+    table = pack_lm(NGramLM.from_arpa(path), vocab)
+    if cache:
+        try:
+            np.savez(
+                cache_path,
+                meta=meta, vocab_digest=np.asarray(digest),
+                keys1=table.keys1, keys2=table.keys2, used=table.used,
+                logprob=table.logprob, backoff=table.backoff,
+                order=np.asarray(table.order), size=np.asarray(table.size),
+            )
+        except OSError as exc:
+            logging.getLogger(__name__).warning(
+                "cannot write packed-LM cache %s (%s)", cache_path, exc
+            )
+    return table
 
 
 # --------------------------------------------------------------------------

@@ -131,10 +131,9 @@ class InferenceEngine:
         self.lm_table = None
         if lm_path and decoder == "beam":
             if Path(lm_path).exists():
-                from ssd_tpu.decoding.device_lm import pack_lm
-                from ssd_tpu.decoding.lm import NGramLM
+                from ssd_tpu.decoding.device_lm import load_packed_lm
 
-                self.lm_table = pack_lm(NGramLM.from_arpa(Path(lm_path)), vocab)
+                self.lm_table = load_packed_lm(Path(lm_path), vocab)
                 logger.info("Serving with on-device LM fusion: %s", lm_path)
             else:
                 # loud: a typo'd path silently serving LM-free would ship a

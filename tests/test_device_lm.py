@@ -198,3 +198,58 @@ def test_device_matches_host_randomized_soak(lm, table, seed):
     want = beam_search_lm_batch(lp, lengths, VOCAB, lm, **kwargs)
     got = beam_decode_lm_device(lp, lengths, VOCAB, table, **kwargs)
     assert got == want, kwargs
+
+
+# ------------------------------------------------------------ packed cache
+def test_load_packed_lm_cache_roundtrip(lm, table, tmp_path):
+    """First load packs + writes the sidecar; second load reads it and the
+    tables are identical. Touching the ARPA invalidates the cache."""
+    import os
+
+    from ssd_tpu.decoding.device_lm import load_packed_lm
+
+    arpa = tmp_path / "test.arpa"
+    lm.to_arpa(arpa)
+    t1 = load_packed_lm(arpa, VOCAB)
+    sidecar = tmp_path / "test.arpa.packed.npz"
+    assert sidecar.exists()
+    t2 = load_packed_lm(arpa, VOCAB)  # cache hit
+    for field in ("keys1", "keys2", "used", "logprob", "backoff"):
+        np.testing.assert_array_equal(getattr(t1, field), getattr(t2, field))
+    assert (t1.order, t1.size) == (t2.order, t2.size)
+    # the cached table must equal a fresh pack of the same ARPA
+    fresh = pack_lm(NGramLM.from_arpa(arpa), VOCAB)
+    np.testing.assert_array_equal(t2.keys1, fresh.keys1)
+    np.testing.assert_array_equal(t2.logprob, fresh.logprob)
+
+    # staleness: rewrite the ARPA with different content → repack, not reuse
+    lm2 = train_ngram(CORPUS[:4], order=2)
+    lm2.to_arpa(arpa)
+    os.utime(arpa, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    t3 = load_packed_lm(arpa, VOCAB)
+    assert t3.order == 2
+
+    # corrupt cache degrades to a repack
+    sidecar.write_bytes(b"not an npz")
+    t4 = load_packed_lm(arpa, VOCAB)
+    assert t4.order == 2
+
+
+def test_load_packed_lm_readonly_dir(lm, tmp_path, monkeypatch):
+    """An unwritable model dir degrades to pack-every-time, no crash.
+
+    (chmod can't block root, so the write failure is injected.)"""
+    from ssd_tpu import decoding
+
+    from ssd_tpu.decoding.device_lm import load_packed_lm
+
+    arpa = tmp_path / "ro.arpa"
+    lm.to_arpa(arpa)
+
+    def boom(*a, **k):
+        raise OSError("read-only file system")
+
+    monkeypatch.setattr(decoding.device_lm.np, "savez", boom)
+    t = load_packed_lm(arpa, VOCAB)
+    assert t.order == lm.order
+    assert not (tmp_path / "ro.arpa.packed.npz").exists()
