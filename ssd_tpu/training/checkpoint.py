@@ -48,6 +48,48 @@ def save_checkpoint(
     (run_dir / "config.json").write_text(json.dumps(cfg, indent=2))
 
 
+class CheckpointWriter:
+    """Per-epoch checkpoint writer with optional async (overlapped) saves.
+
+    orbax's ``StandardCheckpointer`` is an ``AsyncCheckpointer``: ``save``
+    returns once the host copy is snapshotted and the serialization/IO runs
+    on a background thread. ``async_saves=False`` (default) preserves the
+    reference's synchronous semantics (wait immediately);
+    ``async_saves=True`` (``logging: {async_checkpoints: true}``) waits only
+    *before the next save* (orbax allows one in-flight save, and 'last' is
+    rewritten in place every epoch), overlapping checkpoint IO with the next
+    epoch's compute — material at the 439M-param xl scale, noise at 13M.
+    Call :meth:`finalize` before reading the files or exiting.
+    """
+
+    def __init__(self, async_saves: bool = False) -> None:
+        self.async_saves = async_saves
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(
+        self,
+        run_dir: Path,
+        state: Dict[str, Any],
+        cfg: Dict[str, Any],
+        is_best: bool = False,
+        wait: bool = False,
+    ) -> None:
+        run_dir = Path(run_dir).resolve()
+        run_dir.mkdir(parents=True, exist_ok=True)
+        payload = _to_numpy(state)  # device→host snapshot (sync point)
+        self._ckptr.wait_until_finished()  # previous epoch's write must land
+        self._ckptr.save(run_dir / "last", payload, force=True)
+        if is_best:
+            self._ckptr.wait_until_finished()
+            self._ckptr.save(run_dir / "best", payload, force=True)
+        if wait or not self.async_saves:
+            self._ckptr.wait_until_finished()
+        (run_dir / "config.json").write_text(json.dumps(cfg, indent=2))
+
+    def finalize(self) -> None:
+        self._ckptr.wait_until_finished()
+
+
 def load_checkpoint(path: Path, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Restore a checkpoint directory (``…/last`` or ``…/best``).
 

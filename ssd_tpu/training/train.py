@@ -46,9 +46,9 @@ from ssd_tpu.ops.ctc_loss import ctc_loss
 from ssd_tpu.parallel.mesh import mesh_from_config, pad_batch_to_multiple, shard_batch
 from ssd_tpu.parallel.partition import check_tp_divisibility, shard_state
 from ssd_tpu.training.checkpoint import (
+    CheckpointWriter,
     load_checkpoint,
     load_params_partial,
-    save_checkpoint,
 )
 from ssd_tpu.training.schedules import build_optimizer
 
@@ -712,6 +712,12 @@ def train_from_config(
         patience = int(early.get("patience", 0))
         min_delta = float(early.get("min_delta", 0.0))
 
+        # logging.async_checkpoints: true overlaps orbax checkpoint IO with
+        # the next epoch (CheckpointWriter docstring); default is the
+        # reference's synchronous save
+        ckpt_writer = CheckpointWriter(
+            async_saves=bool(cfg["logging"].get("async_checkpoints", False))
+        )
         best_val = float("inf")
         best_epoch = 0
         patience_counter = 0
@@ -749,7 +755,7 @@ def train_from_config(
                     # (its per-epoch shuffle is deterministic). Partial-epoch
                     # optimizer updates are kept; state.step stays accurate, so
                     # the LR schedule is unaffected.
-                    save_checkpoint(
+                    ckpt_writer.save(
                         run_dir,
                         {
                             "params": state.params,
@@ -760,6 +766,7 @@ def train_from_config(
                         },
                         cfg,
                         is_best=False,
+                        wait=True,  # preemption: the write must land before exit
                     )
                     logger.warning(
                         "Preempted during epoch %d: saved resumable 'last' "
@@ -800,7 +807,7 @@ def train_from_config(
                 else:
                     patience_counter += 1
 
-                save_checkpoint(
+                ckpt_writer.save(
                     run_dir,
                     {
                         "params": state.params,
@@ -838,6 +845,10 @@ def train_from_config(
         # raises (checkpoint IO errors, preemption, non-finite loss)
         train_loader.close()
         val_loader.close()
+        try:
+            ckpt_writer.finalize()  # async saves must land before return
+        except NameError:
+            pass  # raised before the writer existed (e.g. config validation)
 
 
 def _parse_args() -> argparse.Namespace:

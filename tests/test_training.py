@@ -28,6 +28,30 @@ def test_train_epoch_and_checkpoint(tiny_setup):
     assert summary["best_epoch"] >= 1
 
 
+def test_async_checkpoints_equivalent(tiny_setup):
+    """logging.async_checkpoints overlaps orbax IO with the next epoch; the
+    written checkpoint must be byte-equivalent to the synchronous one (same
+    seed → same params)."""
+    import jax
+    from ssd_tpu.training.checkpoint import load_checkpoint
+
+    cfg, tmp_path = tiny_setup
+    run_sync = tmp_path / "run_sync"
+    train_from_config(cfg, run_sync)
+    cfg2 = json.loads(json.dumps(cfg))
+    cfg2["logging"]["async_checkpoints"] = True
+    run_async = tmp_path / "run_async"
+    train_from_config(cfg2, run_async)
+    a = load_checkpoint(run_sync / "last")
+    b = load_checkpoint(run_async / "last")
+    assert int(a["epoch"]) == int(b["epoch"])
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        dict(a["params"]),
+        dict(b["params"]),
+    )
+
+
 def test_warm_start_and_dry_run(tiny_setup):
     cfg, tmp_path = tiny_setup
     run_dir = tmp_path / "run1"
