@@ -42,10 +42,13 @@ def main():
     # identical param trees: init once, reuse across variants
     variables = flagship().init(jax.random.PRNGKey(0), emg, lengths, train=False)
 
-    from ssd_tpu.ops.quant import prequantize_tree
+    from ssd_tpu.ops.quant import maybe_prequantize
 
     prequant_vars = {
-        "params": prequantize_tree(variables["params"], jnp.bfloat16),
+        "params": maybe_prequantize(
+            variables["params"],
+            {"quantize": "int8_prequant", "compute_dtype": "bfloat16"},
+        ),
         "batch_stats": variables["batch_stats"],
     }
     results = {}

@@ -169,10 +169,13 @@ def infer_variant(scale, B):
     variables = jax.device_put(variables)  # params as jit ARGUMENTS, not
     # closed-over constants — inlined 166M-param constants blow past the
     # remote compiler's HLO upload size limit (HTTP 413)
-    from ssd_tpu.ops.quant import prequantize_tree
+    from ssd_tpu.ops.quant import maybe_prequantize
 
     prequant_vars = {
-        "params": prequantize_tree(variables["params"], jnp.bfloat16),
+        "params": maybe_prequantize(
+            variables["params"],
+            {"quantize": "int8_prequant", "compute_dtype": "bfloat16"},
+        ),
         "batch_stats": variables["batch_stats"],
     }
     for name, q in [

@@ -199,14 +199,33 @@ def load_packed_lm(path, vocab: Vocab, cache: bool = True) -> DeviceLMTable:
             )
     table = pack_lm(NGramLM.from_arpa(path), vocab)
     if cache:
+        import os
+        import tempfile
+
         try:
-            np.savez(
-                cache_path,
-                meta=meta, vocab_digest=np.asarray(digest),
-                keys1=table.keys1, keys2=table.keys2, used=table.used,
-                logprob=table.logprob, backoff=table.backoff,
-                order=np.asarray(table.order), size=np.asarray(table.size),
+            # tmp + atomic rename: concurrent cold starts (multi-process
+            # serving/eval on one model dir) or a kill mid-write must never
+            # leave a torn cache that every later start pays to repack
+            fd, tmp = tempfile.mkstemp(
+                dir=str(cache_path.parent), suffix=".npz.tmp"
             )
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    np.savez(
+                        f,
+                        meta=meta, vocab_digest=np.asarray(digest),
+                        keys1=table.keys1, keys2=table.keys2, used=table.used,
+                        logprob=table.logprob, backoff=table.backoff,
+                        order=np.asarray(table.order),
+                        size=np.asarray(table.size),
+                    )
+                os.replace(tmp, cache_path)
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
         except OSError as exc:
             logging.getLogger(__name__).warning(
                 "cannot write packed-LM cache %s (%s)", cache_path, exc

@@ -137,12 +137,11 @@ def evaluate_checkpoint(
     model = build_model(cfg, input_dim=int(input_dim), vocab_size=vocab.size)
     payload = load_checkpoint(ckpt_path)
     params, batch_stats = payload["params"], payload["batch_stats"]
-    if enc_cfg.get("quantize") == "int8_prequant":
-        # weight-only pre-quantization: float checkpoint kernels → int8 +
-        # per-channel scales, once at load (ops/quant.py)
-        from ssd_tpu.ops.quant import prequantize_tree
+    # weight-only pre-quantization (quantize: int8_prequant): float kernels
+    # → int8 + per-channel scales, once at load (ops/quant.py)
+    from ssd_tpu.ops.quant import maybe_prequantize
 
-        params = prequantize_tree(params, model.encoder_cfg.dtype)
+    params = maybe_prequantize(params, model.encoder_cfg)
     forward = make_forward(model, featurize_cfg=feat_cfg)
 
     mesh = None

@@ -126,38 +126,55 @@ def int8_prequant_dot(x: jnp.ndarray, q_kernel: jnp.ndarray, scale: jnp.ndarray)
 QUANT_ELIGIBLE = ("w1", "w2", "pw1", "pw2")
 
 
-class QuantDense:
+import flax.linen as _nn
+
+
+class QuantDense(_nn.Module):
     """flax Dense drop-in for the ``int8_prequant`` layout.
 
     Declares ``kernel`` (int8), ``scale`` (fp32 per output channel), and
     ``bias`` — the tree :func:`prequantize_tree` produces from a float
-    checkpoint. Defined lazily to keep quant.py import-light."""
+    checkpoint."""
 
-    def __new__(cls, features, dtype=None, name=None):
-        import flax.linen as nn
+    features: int
+    dtype: object = jnp.float32
 
-        class _QuantDense(nn.Module):
-            features: int
-            dtype: object = jnp.float32
+    @_nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        q = self.param(
+            "kernel", lambda rng: jnp.zeros((in_dim, self.features), jnp.int8)
+        )
+        scale = self.param(
+            "scale", lambda rng: jnp.ones((self.features,), jnp.float32)
+        )
+        bias = self.param(
+            "bias", lambda rng: jnp.zeros((self.features,), jnp.float32)
+        )
+        x = x.astype(self.dtype)
+        y = int8_prequant_dot(x, q, scale).astype(self.dtype)
+        return y + bias.astype(self.dtype)
 
-            @nn.compact
-            def __call__(self, x):
-                in_dim = x.shape[-1]
-                q = self.param(
-                    "kernel",
-                    lambda rng: jnp.zeros((in_dim, self.features), jnp.int8),
-                )
-                scale = self.param(
-                    "scale", lambda rng: jnp.ones((self.features,), jnp.float32)
-                )
-                bias = self.param(
-                    "bias", lambda rng: jnp.zeros((self.features,), jnp.float32)
-                )
-                x = x.astype(self.dtype)
-                y = int8_prequant_dot(x, q, scale).astype(self.dtype)
-                return y + bias.astype(self.dtype)
 
-        return _QuantDense(features=features, dtype=dtype or jnp.float32, name=name)
+def maybe_prequantize(params, encoder_cfg):
+    """Load-time conversion keyed on the model config: returns the
+    prequantized tree when ``quantize == "int8_prequant"`` (replaying the
+    Dense compute-dtype cast so outputs match the dynamic-int8 path), the
+    tree unchanged otherwise. The ONE call site contract for engines/eval/
+    profilers — keeps the dtype-cast rule from diverging across callers.
+    ``encoder_cfg`` is an ``EncoderConfig`` or the raw config dict."""
+    if isinstance(encoder_cfg, dict):
+        quantize = encoder_cfg.get("quantize", "none")
+        dtype = (
+            jnp.bfloat16
+            if encoder_cfg.get("compute_dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
+    else:
+        quantize, dtype = encoder_cfg.quantize, encoder_cfg.dtype
+    if quantize != "int8_prequant":
+        return params
+    return prequantize_tree(params, dtype)
 
 
 def prequantize_tree(params, compute_dtype=None):

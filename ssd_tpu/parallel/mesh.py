@@ -58,26 +58,37 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def ambient_model_axis_size() -> int:
-    """Size of the ``model`` axis of the ambient mesh (``with mesh:``), or 0.
+def ambient_mesh() -> Optional[Mesh]:
+    """The ambient ``with mesh:`` Mesh, or None.
 
-    Model code uses this to make activation sharding constraints
-    (sequence parallelism) a no-op when traced outside any mesh — the same
-    flax module then serves single-device eval/serving and the tensor-parallel
-    trainer. Reads the mesh context-manager's thread-local resource env (the
+    Reads the mesh context-manager's thread-local resource env (the
     mechanism ``with_sharding_constraint`` itself resolves bare
     ``PartitionSpec``s against), defensively: a JAX-internal rename degrades
-    to "no ambient mesh" rather than an ImportError.
+    to "no ambient mesh" rather than an ImportError. The single probe of
+    JAX internals in the codebase — sp (conformer) and pp (pipeline) both
+    resolve through it.
     """
     try:
         from jax._src.mesh import thread_resources
 
         mesh = thread_resources.env.physical_mesh
-        if mesh.empty or MODEL_AXIS not in mesh.axis_names:
-            return 0
-        return int(mesh.shape[MODEL_AXIS])
+        return None if mesh.empty else mesh
     except Exception:  # pragma: no cover - JAX internals moved
+        return None
+
+
+def ambient_model_axis_size() -> int:
+    """Size of the ``model`` axis of the ambient mesh, or 0.
+
+    Model code uses this to make activation sharding constraints
+    (sequence parallelism) a no-op when traced outside any mesh — the same
+    flax module then serves single-device eval/serving and the
+    tensor-parallel trainer.
+    """
+    mesh = ambient_mesh()
+    if mesh is None or MODEL_AXIS not in mesh.axis_names:
         return 0
+    return int(mesh.shape[MODEL_AXIS])
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -38,17 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ssd_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-
-
-def _physical_mesh():
-    try:
-        from jax._src.mesh import thread_resources
-
-        mesh = thread_resources.env.physical_mesh
-        return None if mesh.empty else mesh
-    except Exception:  # pragma: no cover - JAX internals moved
-        return None
+from ssd_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, ambient_mesh
 
 
 def init_stacked_blocks(cfg, rng, d_model: int) -> Dict[str, Any]:
@@ -104,7 +94,7 @@ def pipelined_stack(cfg, stacked, x, mask, train: bool, key=None,
     axis. ``stacked`` is the full (L, …) tree (GSPMD keeps it sharded on the
     stack axis between steps; the shard_map in_spec just adopts that layout).
     """
-    mesh = _physical_mesh()
+    mesh = ambient_mesh()
     n_stages = int(mesh.shape[MODEL_AXIS]) if mesh is not None and MODEL_AXIS in mesh.axis_names else 1
     if n_stages <= 1:
         return scan_stack(cfg, stacked, x, mask, train, key)

@@ -155,15 +155,13 @@ class InferenceEngine:
         if input_dim is None:
             raise ValueError("encoder.input_dim required for serving")
         self.model = build_model(cfg, input_dim=int(input_dim), vocab_size=vocab.size)
-        if enc_cfg.get("quantize") == "int8_prequant":
-            # weight-only pre-quantization: convert the float checkpoint's
-            # eligible kernels ONCE (int8 + per-channel scales) so the
-            # forward pays only activation-side quantization (ops/quant.py)
-            from ssd_tpu.ops.quant import prequantize_tree
+        # weight-only pre-quantization when quantize == int8_prequant:
+        # convert the float checkpoint's eligible kernels ONCE (int8 +
+        # per-channel scales) so the forward pays only activation-side
+        # quantization (ops/quant.py)
+        from ssd_tpu.ops.quant import maybe_prequantize
 
-            params = prequantize_tree(
-                params, self.model.encoder_cfg.dtype
-            )
+        params = maybe_prequantize(params, self.model.encoder_cfg)
         self.params = params
         self.batch_stats = batch_stats
         self.stats = LatencyStats()

@@ -33,12 +33,32 @@ logger = logging.getLogger(__name__)
 
 
 def convert_payload(payload: dict, cfg: dict, to: str) -> tuple[dict, dict]:
-    """Return (converted payload, updated cfg). ``to`` ∈ {scan, unrolled}."""
+    """Return (converted payload, updated cfg). ``to`` ∈ {scan, unrolled}.
+
+    The source layout is detected from the PARAMS TREE, not the config:
+    pipelined checkpoints (``pipeline_microbatches > 0``) use the stacked
+    ``blocks/block`` layout with ``scan_layers`` false, and must convert to
+    unrolled like a scanned checkpoint would. Converting a pipelined
+    checkpoint *to scan* flips it to ``scan_layers: true`` (pipeline off) —
+    the stacked leaves are identical either way.
+    """
     num_layers = int(cfg["model"]["encoder"]["num_layers"])
-    was_scan = bool(cfg["model"]["encoder"].get("scan_layers", False))
-    if (to == "scan") == was_scan:
-        raise ValueError(f"checkpoint is already in the {to!r} layout")
-    convert = stack_block_tree if to == "scan" else unstack_block_tree
+    enc_params = payload["params"].get("encoder", {})
+    was_stacked = "blocks" in enc_params
+    was_pipelined = int(
+        cfg["model"]["encoder"].get("pipeline_microbatches", 0) or 0
+    ) > 0
+    if to == "scan" and was_stacked and was_pipelined:
+        # pipelined → scan: the stacked leaves ARE the scan layout; only the
+        # config flags change
+        convert = lambda tree, n: tree  # noqa: E731
+    elif (to == "scan") == was_stacked:
+        raise ValueError(
+            f"checkpoint is already in the "
+            f"{'stacked (scan/pipeline)' if was_stacked else 'unrolled'} layout"
+        )
+    else:
+        convert = stack_block_tree if to == "scan" else unstack_block_tree
 
     out = {}
     for key in ("params", "batch_stats"):
@@ -54,6 +74,9 @@ def convert_payload(payload: dict, cfg: dict, to: str) -> tuple[dict, dict]:
 
     new_cfg = json.loads(json.dumps(cfg))  # deep copy
     new_cfg["model"]["encoder"]["scan_layers"] = to == "scan"
+    # the output layout is exactly scan-or-unrolled; a pipelined source's
+    # flag would otherwise conflict with scan_layers at load time
+    new_cfg["model"]["encoder"].pop("pipeline_microbatches", None)
     return out, new_cfg
 
 

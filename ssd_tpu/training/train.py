@@ -455,6 +455,7 @@ def train_from_config(
     the reference, which always restarts at epoch 1 (docs/PARITY.md);
     best-checkpoint tracking restarts from the resume point.
     """
+    ckpt_writer = None  # created once run config validates; finalized in finally
     if cfg["model"]["encoder"].get("quantize") == "int8_prequant":
         # fail before data loading: the prequant tree holds int8 kernels
         # (quantize: int8 trains float — its forward gates on train=False)
@@ -845,10 +846,8 @@ def train_from_config(
         # raises (checkpoint IO errors, preemption, non-finite loss)
         train_loader.close()
         val_loader.close()
-        try:
+        if ckpt_writer is not None:
             ckpt_writer.finalize()  # async saves must land before return
-        except NameError:
-            pass  # raised before the writer existed (e.g. config validation)
 
 
 def _parse_args() -> argparse.Namespace:

@@ -80,6 +80,48 @@ def test_cli_roundtrip_and_equivalence(ckpt, tmp_path):
     )
 
 
+def test_pipelined_checkpoint_converts(tmp_path):
+    """Pipelined checkpoints use the stacked layout with scan_layers=False;
+    layout detection must come from the params tree, and the converted
+    config must not carry pipeline_microbatches alongside scan_layers."""
+    import numpy as np
+
+    cfg = json.loads(json.dumps(CFG))
+    cfg["model"]["encoder"].update(
+        {"conv_norm": "layer", "pipeline_microbatches": 2}
+    )
+    model = build_model(cfg, input_dim=16, vocab_size=48)
+    emg = jnp.zeros((2, 32, 16))
+    lengths = jnp.asarray([32, 24])
+    variables = model.init(jax.random.PRNGKey(0), emg, lengths, train=False)
+    payload = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "epoch": np.asarray(1), "step": np.asarray(5),
+    }
+    save_checkpoint(tmp_path / "pp", payload, cfg)
+
+    convert_main([
+        "--checkpoint", str(tmp_path / "pp" / "last"),
+        "--to", "unrolled",
+        "--output", str(tmp_path / "unrolled"),
+    ])
+    out_cfg = json.loads((tmp_path / "unrolled" / "config.json").read_text())
+    assert out_cfg["model"]["encoder"]["scan_layers"] is False
+    assert "pipeline_microbatches" not in out_cfg["model"]["encoder"]
+    restored = load_checkpoint(tmp_path / "unrolled" / "last")
+    assert "block_0" in restored["params"]["encoder"]
+    # … and to scan (stacked leaves unchanged, flag flipped)
+    convert_main([
+        "--checkpoint", str(tmp_path / "pp" / "last"),
+        "--to", "scan",
+        "--output", str(tmp_path / "scan"),
+    ])
+    scan_cfg = json.loads((tmp_path / "scan" / "config.json").read_text())
+    assert scan_cfg["model"]["encoder"]["scan_layers"] is True
+    assert "pipeline_microbatches" not in scan_cfg["model"]["encoder"]
+
+
 def test_wrong_direction_rejected(ckpt):
     run_dir, *_ = ckpt
     payload = load_checkpoint(run_dir / "last")
