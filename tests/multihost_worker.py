@@ -109,6 +109,42 @@ def main() -> None:
         )
     results["preempt"] = {"agreed": bool(agreed), "batches": pre_losses["batches"]}
 
+    # --- cross-process tensor + sequence parallelism: the `model` axis
+    # collectives (tp psums, sp all-gather/reduce-scatter pairs) and the
+    # fsdp weight gathers run over the distributed (gloo) backend, not just
+    # the in-process virtual mesh the main suite uses
+    from ssd_tpu.parallel.mesh import shard_batch
+    from ssd_tpu.parallel.partition import shard_state
+
+    enc_tp = EncoderConfig(
+        input_dim=16, d_model=16, num_layers=1, num_heads=2, ffn_dim=32,
+        depthwise_conv_kernel_size=7, dropout=0.0, subsample_factor=2,
+        sequence_parallel=True,
+    )
+    model_tp = SSDModel(encoder_cfg=enc_tp, projection_dim=8, vocab_size=vocab.size)
+    tx_tp, _ = build_optimizer(cfg, 20)
+    state_tp = init_state(model_tp, tx_tp, 16, jax.random.PRNGKey(0))
+    step_tp = make_train_step(
+        model_tp, tx_tp, blank_id=vocab.blank_id, normalize_distill=False
+    )
+    mesh_tp = make_mesh(model=2)  # (data=4, model=2) over 8 global devices
+    rng_np = np.random.default_rng(100 + proc_id)  # per-process local slice
+    B_local, T, S = 4, 32, 6
+    local = {
+        "emg": rng_np.normal(size=(B_local, T, 16)).astype(np.float32),
+        "emg_lengths": np.full((B_local,), T, np.int32),
+        "tokens": rng_np.integers(2, vocab.size, size=(B_local, S)).astype(np.int32),
+        "token_lengths": np.full((B_local,), S, np.int32),
+        "weight": np.ones((B_local,), np.float32),
+    }
+    with mesh_tp:
+        st = shard_state(mesh_tp, state_tp, fsdp=True)
+        st, tp_losses = step_tp(
+            st, shard_batch(mesh_tp, local),
+            np.asarray([1.0, 0.0], np.float32), jax.random.PRNGKey(7),
+        )
+        results["tp"] = {"loss": float(tp_losses["total"])}
+
     (workdir / f"result_{proc_id}.json").write_text(json.dumps(results))
     print(f"[{proc_id}] OK", flush=True)
 

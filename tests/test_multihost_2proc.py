@@ -96,3 +96,8 @@ def test_two_process_training_lockstep(tmp_path):
     assert r0["preempt"]["agreed"] is True
     assert r1["preempt"]["agreed"] is True
     assert r0["preempt"]["batches"] == r1["preempt"]["batches"] == 0
+
+    # tp×sp×fsdp across processes: the model-axis collectives ran over the
+    # distributed backend and both processes computed the same global loss
+    np.testing.assert_allclose(r0["tp"]["loss"], r1["tp"]["loss"], rtol=1e-6)
+    assert np.isfinite(r0["tp"]["loss"])
