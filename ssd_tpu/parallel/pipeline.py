@@ -133,36 +133,32 @@ def pipelined_stack(cfg, stacked, x, mask, train: bool, key=None,
         xs = x_loc.reshape(M, mb, T, D)
         ms = mask_loc.reshape(M, mb, T)
 
-        def tick(carry, t):
-            cur, out_buf = carry
+        def tick(cur, t):
             j = t - s  # microbatch index this stage works on at tick t
             jc = jnp.clip(j, 0, M - 1)
             x_in = jnp.where(s == 0, jnp.take(xs, jc, axis=0), cur)
             m_in = jnp.take(ms, jc, axis=0)
             k = jax.random.fold_in(k_base, t) if have_key else None
             y = scan_stack(cfg, stacked_loc, x_in, m_in, train, k)
-            valid = (j >= 0) & (j < M) & (s == n_stages - 1)
-            out_buf = jnp.where(
-                valid,
-                lax.dynamic_update_slice(out_buf, y[None], (jc, 0, 0, 0)),
-                out_buf,
-            )
             # ring-shift activations to the next stage (last→0 is ignored:
             # stage 0 always injects a fresh microbatch)
             cur = lax.ppermute(
                 y, MODEL_AXIS,
                 [(i, (i + 1) % n_stages) for i in range(n_stages)],
             )
-            return (cur, out_buf), None
+            return cur, y  # y stacks into the scan output — no carried buffer
 
         cur0 = jnp.zeros((mb, T, D), jnp.float32)
-        buf0 = jnp.zeros((M, mb, T, D), jnp.float32)
-        (_, out_buf), _ = lax.scan(
-            tick, (cur0, buf0), jnp.arange(M + n_stages - 1)
+        _, ys = lax.scan(tick, cur0, jnp.arange(M + n_stages - 1))
+        # the LAST stage's valid outputs are exactly ticks S-1 … S-1+M-1
+        # (j = t − (S−1) runs 0…M−1, bubble-free in that window); the slice
+        # start is a python int so every stage slices the same rows, and the
+        # psum over the ring zeroes every stage but the last
+        out_buf = lax.dynamic_slice_in_dim(ys, n_stages - 1, M, axis=0)
+        out = lax.psum(
+            jnp.where(s == n_stages - 1, out_buf, jnp.zeros((), out_buf.dtype)),
+            MODEL_AXIS,
         )
-        # only the last stage holds real outputs (zeros elsewhere): one psum
-        # over the stage ring replicates them, keeping out_specs simple
-        out = lax.psum(out_buf, MODEL_AXIS)
         return out.reshape(b_loc, T, D)
 
     args = (x, mask, stacked) + ((key,) if have_key else ())
