@@ -362,6 +362,42 @@ def bench_lm_decode(jax, jnp, token_top_k=TOKEN_TOP_K):
     return sec_per_batch / DECODE_BATCH
 
 
+def _attach_or_report(jax, jnp, timeout_sec: float) -> None:
+    """Bounded first-device-op probe: a wedged remote TPU service makes the
+    attach HANG (observed: an 8h UNAVAILABLE window where every attach blocked
+    forever) — without this guard the bench would never print its JSON line."""
+    import threading
+
+    result: dict = {}
+
+    def probe():
+        try:
+            x = jnp.ones((8, 8))
+            result["ok"] = float((x @ x).sum()) == 512.0
+        except Exception as exc:  # noqa: BLE001 - report any attach failure
+            result["err"] = str(exc)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_sec)
+    if result.get("ok"):
+        return
+    err = result.get("err") or f"device attach did not complete in {timeout_sec:.0f}s"
+    print(
+        json.dumps(
+            {
+                "metric": "train_utterances_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "utt/s/chip",
+                "vs_baseline": 0.0,
+                "error": f"TPU unavailable: {err}",
+            }
+        ),
+        flush=True,
+    )
+    sys.exit(1)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -371,6 +407,9 @@ def main() -> None:
     # skipping the decode bench when the train bench already consumed it.
     budget = float(os.environ.get("SSD_BENCH_BUDGET_SEC", "540"))
     t_start = time.time()
+    _attach_or_report(
+        jax, jnp, float(os.environ.get("SSD_BENCH_ATTACH_TIMEOUT_SEC", "600"))
+    )
 
     import threading
 
