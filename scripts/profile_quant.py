@@ -1,12 +1,17 @@
-"""Inference forward latency: fp32 vs bf16 vs bf16+int8 (W8A8) encoder.
+"""Inference forward latency: fp32 vs bf16 vs int8 (W8A8) vs int8-prequant.
 
 Flagship ``tpu_fast_plus`` model at serving shapes (B=8, T=768 feature
-frames → 384 post-subsample), two-point-slope timing (the only sound
-wall-clock method on the remote axon platform — see docs/PERF.md).
+frames → 384 post-subsample). Timing: K forwards chained ON DEVICE in one
+``lax.fori_loop`` executable with a dynamic trip count and a data-dependent
+carry — the only per-batch-latency method that survives the remote (axon)
+tunnel's multi-ms dispatch jitter (two-point slope at sub-ms batch times
+measured a literal 0.000 ms once; see docs/PERF.md "Measurement
+methodology").
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_quant.py
 """
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -17,11 +22,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bench import _timed_slope
 from ssd_tpu.models.conformer import EncoderConfig
 from ssd_tpu.models.ssd_model import SSDModel
 
 B, T, F, V = 8, 768, 640, 48
+K = 64  # timed loop length
 
 
 def flagship(**enc_kwargs):
@@ -32,6 +37,36 @@ def flagship(**enc_kwargs):
     )
     return SSDModel(encoder_cfg=cfg, projection_dim=768, vocab_size=V,
                     ctc_dropout=0.12)
+
+
+def time_device_loop(fwd, run_vars, emg, lengths, k=K):
+    """ms/batch for one forward, K chained on device.
+
+    The carry feeds a data-dependent (but numerically negligible) scalar
+    from each output back into the next input, so XLA cannot overlap or
+    elide iterations; each loop body pays the full per-batch latency, which
+    is exactly what sequential serving pays.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_k(x, k):
+        def body(i, x):
+            out = fwd(run_vars, x, lengths)
+            return x + (out[0][0, 0, 0] * jnp.float32(1e-30)).astype(x.dtype)
+
+        return jax.lax.fori_loop(0, k, body, x)
+
+    t0 = time.time()
+    # fresh copy: donate_argnums consumes the carry, and the caller reuses
+    # the same host input across variants
+    x = run_k(jnp.array(emg), jnp.int32(2))  # compile + warm (same executable)
+    float(x[0, 0, 0])  # scalar readback = true fence
+    compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    x = run_k(x, jnp.int32(k))
+    float(x[0, 0, 0])
+    dt = (time.perf_counter() - t0) / k
+    return dt, compile_s
 
 
 def main():
@@ -61,28 +96,19 @@ def main():
         model = flagship(**kw)
         run_vars = prequant_vars if kw.get("quantize") == "int8_prequant" else variables
 
-        @jax.jit
-        def fwd(v, x, l):
+        def fwd(v, x, l, model=model):
             return model.apply(v, x, l, train=False)
 
-        def run_n(n):
-            out = None
-            for _ in range(n):
-                out = fwd(run_vars, emg, lengths)
-            float(out[0][0, 0, 0])  # scalar readback = fence
-
-        t0 = time.time()
-        run_n(1)  # compile
-        sec = _timed_slope(run_n, 4, 12)
+        sec, compile_s = time_device_loop(fwd, run_vars, emg, lengths)
         results[name] = sec
         print(
-            f"{name:>10}: {sec * 1e3:7.3f} ms/batch  "
-            f"{sec / B * 1e6:7.1f} us/utt  (compile {time.time() - t0:.0f}s)",
+            f"{name:>12}: {sec * 1e3:7.3f} ms/batch  "
+            f"{sec / B * 1e6:7.1f} us/utt  (compile {compile_s:.0f}s)",
             flush=True,
         )
-    if "bf16" in results and "bf16+int8" in results:
-        print(f"int8 speedup vs bf16: {results['bf16'] / results['bf16+int8']:.2f}x")
-    print(f"int8 speedup vs fp32: {results['fp32'] / results['bf16+int8']:.2f}x")
+    print(f"int8 speedup vs bf16: {results['bf16'] / results['bf16+int8']:.2f}x")
+    print(f"prequant speedup vs bf16: {results['bf16'] / results['bf16+int8pre']:.2f}x")
+    print(f"prequant speedup vs int8: {results['bf16+int8'] / results['bf16+int8pre']:.2f}x")
 
 
 if __name__ == "__main__":
