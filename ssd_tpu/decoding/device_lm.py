@@ -78,6 +78,13 @@ class DeviceLMTable:
     backoff: np.ndarray  # (size,) float32, log10 (0 when absent)
     order: int
     size: int
+    # Does any n-gram of order ≥ 2 END in <unk>? KN/lmplz LMs carry <unk>
+    # only as a unigram, in which case the scorer drops the speculative
+    # <unk>-substituted n-gram keys from the backoff walk (L: 3·order−1 →
+    # 2·order−1 gather offsets) and folds the OOV fallback into
+    # "sum of valid context backoffs + the <unk> unigram" — see _score_word.
+    unk_tailed: bool = True
+    unk_uni_lp: Optional[float] = None  # log10 P(<unk>), None when absent
 
 
 def _word_hash(word: str, vocab: Vocab) -> Tuple[np.uint32, np.uint32]:
@@ -108,6 +115,8 @@ def _seq_hash(word_hashes) -> Tuple[np.uint32, np.uint32]:
 
 def pack_lm(lm: NGramLM, vocab: Vocab) -> DeviceLMTable:
     """Pack an :class:`NGramLM` into the device hash table."""
+    unk_tailed = any(len(ng) >= 2 and ng[-1] == UNK for ng in lm.logprob)
+    unk_uni_lp = lm.logprob.get((UNK,))
     entries = []
     for ngram, lp in lm.logprob.items():
         hashes = [_word_hash(w, vocab) for w in ngram]
@@ -144,12 +153,13 @@ def pack_lm(lm: NGramLM, vocab: Vocab) -> DeviceLMTable:
             return DeviceLMTable(
                 keys1=keys1, keys2=keys2, used=used, logprob=lp_t, backoff=bo_t,
                 order=lm.order, size=size,
+                unk_tailed=unk_tailed, unk_uni_lp=unk_uni_lp,
             )
         nbuckets *= 2
 
 
 # ----------------------------------------------------------- packed cache
-_PACK_FORMAT = 1  # bump when the table layout or hash scheme changes
+_PACK_FORMAT = 2  # bump when the table layout or hash scheme changes
 
 
 def _vocab_digest(vocab: Vocab) -> str:
@@ -185,10 +195,13 @@ def load_packed_lm(path, vocab: Vocab, cache: bool = True) -> DeviceLMTable:
                 np.array_equal(z["meta"], meta)
                 and str(z["vocab_digest"]) == digest
             ):
+                unk_uni = float(z["unk_uni_lp"])
                 return DeviceLMTable(
                     keys1=z["keys1"], keys2=z["keys2"], used=z["used"],
                     logprob=z["logprob"], backoff=z["backoff"],
                     order=int(z["order"]), size=int(z["size"]),
+                    unk_tailed=bool(z["unk_tailed"]),
+                    unk_uni_lp=None if np.isnan(unk_uni) else unk_uni,
                 )
             logging.getLogger(__name__).info(
                 "stale packed-LM cache %s — repacking", cache_path
@@ -218,6 +231,12 @@ def load_packed_lm(path, vocab: Vocab, cache: bool = True) -> DeviceLMTable:
                         logprob=table.logprob, backoff=table.backoff,
                         order=np.asarray(table.order),
                         size=np.asarray(table.size),
+                        unk_tailed=np.asarray(table.unk_tailed),
+                        unk_uni_lp=np.asarray(
+                            np.nan if table.unk_uni_lp is None
+                            else table.unk_uni_lp,
+                            np.float64,
+                        ),
                     )
                 os.replace(tmp, cache_path)
             except BaseException:
@@ -296,7 +315,8 @@ def _lookup(table, k1, k2):
     return found, jnp.where(found, lp, zero), jnp.where(found, bo, zero)
 
 
-def _score_word(table, order, cx1, cx2, nw, w1, w2):
+def _score_word(table, order, cx1, cx2, nw, w1, w2, unk_tailed=True,
+                unk_uni=None):
     """Backoff recursion, vectorized: log10 P(word | last nw words).
 
     ``cx1/cx2``: (..., order−1) rolling hashes of the last j+1 words at slot
@@ -308,13 +328,52 @@ def _score_word(table, order, cx1, cx2, nw, w1, w2):
     ``<unk>``-substituted n-gram keys are stacked with the context-backoff
     keys into a single lookup batch (L = 3·order − 1), and the variant is
     selected afterwards by the real word's unigram hit.
+
+    ``unk_tailed=False`` (static; detected at pack time — KN/lmplz LMs carry
+    ``<unk>`` only as a unigram) drops the speculative ``<unk>`` n-gram keys:
+    they can never hit, so the OOV fallback collapses to "sum of valid
+    context backoffs + the <unk> unigram" (``unk_uni``, a traced log10
+    scalar; None when the LM lacks the unigram → −99, matching the generic
+    walk). L shrinks 3·order−1 → 2·order−1 gather offsets — the lookup is
+    offset-count-bound, so this is a direct scorer-cost cut.
     """
     O = order - 1
+    c1s = [cx1[..., j - 1] for j in range(O, 0, -1)]
+    c2s = [cx2[..., j - 1] for j in range(O, 0, -1)]
+
+    if not unk_tailed:
+        # layout: [ng_real j=O..1 | uni_real | ctx j=O..1]
+        all1 = jnp.stack(
+            [c * jnp.uint32(_S1) + w1 for c in c1s] + [w1] + c1s, axis=-1
+        )
+        all2 = jnp.stack(
+            [c * jnp.uint32(_S2) + w2 for c in c2s] + [w2] + c2s, axis=-1
+        )
+        hit_all, lp_all, bo_all = _lookup(table, all1, all2)
+        uni_hit = hit_all[..., O]
+        kmax = jnp.minimum(nw, O)
+        found = jnp.zeros(w1.shape, bool)
+        score = jnp.full(w1.shape, -99.0, jnp.float32)
+        penalty = jnp.zeros(w1.shape, jnp.float32)
+        pen_full = jnp.zeros(w1.shape, jnp.float32)  # OOV path: found never
+        for i, j in enumerate(range(O, -1, -1)):  # longest context → unigram
+            valid = kmax >= j
+            take = valid & hit_all[..., i] & ~found
+            score = jnp.where(take, penalty + lp_all[..., i], score)
+            found = found | (valid & hit_all[..., i])
+            if j > 0:
+                bo = bo_all[..., O + 1 + i]  # backoff of the skipped context
+                penalty = penalty + jnp.where(valid & ~found, bo, 0.0)
+                pen_full = pen_full + jnp.where(valid, bo, 0.0)
+        if unk_uni is None:
+            unk_score = jnp.full(w1.shape, -99.0, jnp.float32)
+        else:
+            unk_score = pen_full + unk_uni
+        return jnp.where(uni_hit, score, unk_score)
+
     u1, u2 = jnp.uint32(_UNK_H[0]), jnp.uint32(_UNK_H[1])
 
     # layout: [ng_real j=O..1 | uni_real | ng_unk j=O..1 | uni_unk | ctx j=O..1]
-    c1s = [cx1[..., j - 1] for j in range(O, 0, -1)]
-    c2s = [cx2[..., j - 1] for j in range(O, 0, -1)]
     all1 = jnp.stack(
         [c * jnp.uint32(_S1) + w1 for c in c1s] + [w1]
         + [c * jnp.uint32(_S1) + u1 for c in c1s] + [jnp.broadcast_to(u1, w1.shape)]
@@ -383,6 +442,11 @@ def beam_search_lm_device(
     Returns ``(chars (T,B,K), parents (T,B,K), final_scores (B,K),
     best_beam (B,))`` — feed ``best_beam`` to :func:`traceback`.
     """
+    unk_uni = (
+        None
+        if table.unk_tailed or table.unk_uni_lp is None
+        else jnp.float32(table.unk_uni_lp)
+    )
     return _beam_search_lm_jit(
         log_probs,
         lengths,
@@ -398,6 +462,8 @@ def beam_search_lm_device(
         float(token_min_logp),
         float(blank_bias),
         token_top_k,
+        unk_tailed=table.unk_tailed,
+        unk_uni=unk_uni,
     )
 
 
@@ -406,7 +472,7 @@ def beam_search_lm_device(
     static_argnames=(
         "order", "blank_id", "pad_id", "space_id", "beam_width",
         "alpha", "beta", "beam_prune_logp", "token_min_logp", "blank_bias",
-        "token_top_k",
+        "token_top_k", "unk_tailed",
     ),
 )
 def _beam_search_lm_jit(
@@ -424,6 +490,8 @@ def _beam_search_lm_jit(
     token_min_logp,
     blank_bias,
     token_top_k=None,
+    unk_tailed=True,
+    unk_uni=None,
 ):
     B, T, V = log_probs.shape
     K = beam_width
@@ -490,7 +558,10 @@ def _beam_search_lm_jit(
 
         # ---- per-beam LM delta for completing the current partial word
         partial_live = (pw1 != 0) | (pw2 != 0)  # (B, K)
-        score10 = _score_word((*table,), order, cx1, cx2, nw, pw1, pw2)
+        score10 = _score_word(
+            (*table,), order, cx1, cx2, nw, pw1, pw2,
+            unk_tailed=unk_tailed, unk_uni=unk_uni,
+        )
         delta = jnp.where(
             partial_live, alpha * LN10 * score10 + beta, 0.0
         )  # (B, K)
@@ -669,6 +740,7 @@ def _beam_search_lm_jit(
     score10 = _score_word(
         (*table,), order, final["cx1"], final["cx2"], final["nw"],
         final["pw1"], final["pw2"],
+        unk_tailed=unk_tailed, unk_uni=unk_uni,
     )
     final_delta = jnp.where(partial_live, alpha * LN10 * score10 + beta, 0.0)
     final_scores = (

@@ -253,3 +253,71 @@ def test_load_packed_lm_readonly_dir(lm, tmp_path, monkeypatch):
     t = load_packed_lm(arpa, VOCAB)
     assert t.order == lm.order
     assert not (tmp_path / "ro.arpa.packed.npz").exists()
+
+
+# ------------------------------------------------- <unk>-key specialization
+def test_trained_lm_packs_specialized(lm, table):
+    """The native KN trainer emits <unk> only as a unigram, so pack_lm
+    detects unk_tailed=False — meaning every host-parity test in this file
+    exercises the SPECIALIZED scorer (reduced key set), not just the
+    generic walk."""
+    from ssd_tpu.decoding.lm import UNK
+
+    assert table.unk_tailed is False
+    assert table.unk_uni_lp is not None
+    assert np.isclose(table.unk_uni_lp, lm.logprob[(UNK,)])
+
+
+def test_unk_tailed_lm_generic_path_matches_host():
+    """Hand-built LM WITH <unk>-tailed bigrams: detection keeps the generic
+    (speculative <unk>-substitution) walk, which must still match the host
+    oracle — <unk>-tailed n-grams now actually fire for OOV words."""
+    lm = NGramLM(
+        order=2,
+        logprob={
+            ("<unk>",): -1.2,
+            ("the",): -0.4,
+            ("cat",): -0.9,
+            ("sat",): -1.0,
+            ("a",): -0.8,
+            ("the", "cat"): -0.3,
+            ("the", "<unk>"): -0.6,
+            ("cat", "sat"): -0.5,
+            ("a", "<unk>"): -0.9,
+        },
+        backoff={("the",): -0.25, ("cat",): -0.1, ("a",): -0.15},
+    )
+    t = pack_lm(lm, VOCAB)
+    assert t.unk_tailed is True
+    rng = np.random.default_rng(7)
+    B, T = 2, 18
+    lp = _softmax_logits(rng, B, T, scale=2.0)
+    lengths = np.full((B,), T, np.int32)
+    kwargs = dict(beam_width=12, alpha=0.8, beta=0.1)
+    want = beam_search_lm_batch(lp, lengths, VOCAB, lm, **kwargs)
+    got = beam_decode_lm_device(lp, lengths, VOCAB, t, **kwargs)
+    assert got == want
+
+
+def test_unk_unigram_absent_specialized_matches_generic():
+    """LM with NO <unk> unigram at all: the specialized OOV fallback (flat
+    −99) must decode identically to the generic device walk on the same
+    table (forced via unk_tailed=True)."""
+    import dataclasses
+
+    lm = NGramLM(
+        order=2,
+        logprob={("the",): -0.4, ("cat",): -0.9, ("the", "cat"): -0.3},
+        backoff={("the",): -0.2},
+    )
+    t_spec = pack_lm(lm, VOCAB)
+    assert t_spec.unk_tailed is False and t_spec.unk_uni_lp is None
+    t_gen = dataclasses.replace(t_spec, unk_tailed=True)
+    rng = np.random.default_rng(11)
+    B, T = 2, 16
+    lp = _softmax_logits(rng, B, T, scale=1.8)
+    lengths = np.full((B,), T, np.int32)
+    kwargs = dict(beam_width=10, alpha=0.9, beta=0.0)
+    spec = beam_decode_lm_device(lp, lengths, VOCAB, t_spec, **kwargs)
+    gen = beam_decode_lm_device(lp, lengths, VOCAB, t_gen, **kwargs)
+    assert spec == gen
