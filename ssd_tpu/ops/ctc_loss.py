@@ -31,11 +31,34 @@ reference exactly (tested in ``tests/test_ctc_loss.py``).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ssd_tpu.utils.platform import is_tpu_backend, pallas_interpret
 
 NEG_INF = -1.0e30  # safe -inf surrogate: logaddexp stays finite
+
+
+def _resolve_impl(impl: str) -> str:
+    """``auto`` → Mosaic kernels on real TPU, XLA scans elsewhere.
+
+    ``SSD_CTC_IMPL={scan,pallas}`` overrides ``auto`` (profiling/rollback
+    escape hatch). The per-iteration work of the α/β recursions is a handful
+    of (B, 2S+1) element-wise ops — latency-bound, so the XLA scan pays loop
+    dispatch every (unrolled) iteration; a single Mosaic kernel that carries
+    α in VMEM across a sequential time grid removes that overhead entirely
+    (measured: see docs/PERF.md "Pallas CTC").
+    """
+    if impl == "auto":
+        env = os.environ.get("SSD_CTC_IMPL")
+        if env in ("scan", "pallas"):
+            return env
+        return "pallas" if is_tpu_backend() else "scan"
+    return impl
 
 
 def _extend_targets(targets: jnp.ndarray, blank_id: int) -> jnp.ndarray:
@@ -92,6 +115,132 @@ def _forward_alphas(lp_ext: jnp.ndarray, allow_skip: jnp.ndarray):
     return jnp.concatenate([alpha0[None], alphas], axis=0)
 
 
+# --------------------------------------------------------------------------
+# Pallas (Mosaic) α/β recursions: the whole time loop inside ONE kernel.
+#
+# The scans above are latency-bound — per (unrolled) iteration XLA pays loop
+# dispatch for ~6 tiny (B, 2S+1) VPU ops. Here the time axis is the Pallas
+# grid (sequential on TPU), α/β live in a VMEM scratch across grid steps, and
+# the per-step lp_ext block streams HBM→VMEM through the automatic pipeline,
+# so the recursion runs at its DMA floor. Same numerics as the scans
+# (identical op order; parity pinned in tests/test_ctc_loss.py and on-chip in
+# tests/tpu).
+# --------------------------------------------------------------------------
+
+
+def _alpha_kernel(lp_ref, skipf_ref, out_ref, alpha_ref):
+    t = pl.program_id(0)
+    lp_t = lp_ref[0]  # (B, S2)
+    B, S2 = lp_t.shape
+    neg = jnp.full((B, 1), NEG_INF, jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S2), 1)
+        alpha0 = jnp.where(s_idx <= 1, lp_t, NEG_INF)
+        alpha_ref[...] = alpha0
+        out_ref[0] = alpha0
+
+    @pl.when(t > 0)
+    def _():
+        alpha = alpha_ref[...]
+        advance = jnp.concatenate([neg, alpha[:, :-1]], axis=1)
+        skip = jnp.concatenate([neg, neg, alpha[:, :-2]], axis=1)
+        skip = jnp.where(skipf_ref[...] > 0, skip, NEG_INF)
+        merged = jnp.logaddexp(jnp.logaddexp(alpha, advance), skip)
+        new_alpha = jnp.maximum(lp_t + merged, NEG_INF)
+        alpha_ref[...] = new_alpha
+        out_ref[0] = new_alpha
+
+
+def _forward_alphas_pallas(lp_ext: jnp.ndarray, allow_skip: jnp.ndarray):
+    """α recursion as one Mosaic kernel; returns all alphas (T, B, S2)."""
+    T, B, S2 = lp_ext.shape
+    return pl.pallas_call(
+        _alpha_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B, S2), jnp.float32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, S2), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S2), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, B, S2), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((B, S2), jnp.float32)],
+        interpret=pallas_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * B * S2,
+            bytes_accessed=4 * 2 * T * B * S2,
+            transcendentals=2 * T * B * S2,
+        ),
+    )(lp_ext, allow_skip.astype(jnp.float32))
+
+
+def _beta_kernel(lp_ref, skipf_ref, bfinal_ref, len_ref, out_ref, beta_ref):
+    i = pl.program_id(0)
+    t = pl.num_programs(0) - 1 - i  # time runs T−1 → 0
+    bfinal = bfinal_ref[...]  # (B, S2)
+    B, S2 = bfinal.shape
+    is_last = len_ref[...] - 1 == t  # (B, 1), broadcasts over states
+    neg = jnp.full((B, 1), NEG_INF, jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        beta = jnp.where(is_last, bfinal, jnp.full((B, S2), NEG_INF, jnp.float32))
+        beta_ref[...] = beta
+        out_ref[0] = beta
+
+    @pl.when(i > 0)
+    def _():
+        u = beta_ref[...] + lp_ref[0]  # β_{t+1} + lp_{t+1}
+        advance = jnp.concatenate([u[:, 1:], neg], axis=1)
+        skip = jnp.concatenate([u[:, 2:], neg, neg], axis=1)
+        skip = jnp.where(skipf_ref[...] > 0, skip, NEG_INF)
+        merged = jnp.maximum(
+            jnp.logaddexp(jnp.logaddexp(u, advance), skip), NEG_INF
+        )
+        beta = jnp.where(is_last, bfinal, merged)
+        beta_ref[...] = beta
+        out_ref[0] = beta
+
+
+def _betas_pallas(lp_ext, logit_lengths, beta_final, skip_from):
+    """β recursion as one Mosaic kernel; returns all betas (T, B, S2)."""
+    T, B, S2 = lp_ext.shape
+    return pl.pallas_call(
+        _beta_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B, S2), jnp.float32),
+        grid=(T,),
+        in_specs=[
+            # lp_ext at t+1 = T−i; clamped to a valid (unused) block at i=0
+            pl.BlockSpec(
+                (1, B, S2),
+                lambda i: (T - jnp.maximum(i, 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((B, S2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, B, S2), lambda i: (T - 1 - i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((B, S2), jnp.float32)],
+        interpret=pallas_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * B * S2,
+            bytes_accessed=4 * 2 * T * B * S2,
+            transcendentals=2 * T * B * S2,
+        ),
+    )(
+        lp_ext,
+        skip_from.astype(jnp.float32),
+        beta_final,
+        logit_lengths.astype(jnp.int32)[:, None],
+    )
+
+
 def _loglik(alphas, logit_lengths, target_lengths):
     """Gather log-likelihood from α at each sample's final frame/states."""
     T, B, S2 = alphas.shape
@@ -110,13 +259,14 @@ def _loglik(alphas, logit_lengths, target_lengths):
     return jnp.logaddexp(end_blank, end_label)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def ctc_loss(
     log_probs: jnp.ndarray,
     logit_lengths: jnp.ndarray,
     targets: jnp.ndarray,
     target_lengths: jnp.ndarray,
     blank_id: int = 0,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Per-sample CTC negative log-likelihood.
 
@@ -126,6 +276,9 @@ def ctc_loss(
       targets: ``(B, S)`` padded label ids (padding value irrelevant).
       target_lengths: ``(B,)`` valid label counts.
       blank_id: CTC blank index.
+      impl: ``auto`` | ``scan`` | ``pallas`` — α/β recursion backend
+        (``auto`` picks the Mosaic kernels on real TPU; see
+        :func:`_resolve_impl`).
 
     Returns:
       ``(B,)`` float32 losses; impossible alignments yield 0 (zero_infinity).
@@ -135,28 +288,37 @@ def ctc_loss(
     custom VJP — one extra reverse scan instead of autodiff's transposed
     scan, ~2× faster and with exact posterior normalization.
     """
-    loss, _ = _ctc_fwd_impl(log_probs, logit_lengths, targets, target_lengths, blank_id)
+    loss, _ = _ctc_fwd_impl(
+        log_probs, logit_lengths, targets, target_lengths, blank_id, impl
+    )
     return loss
 
 
-def _ctc_fwd_impl(log_probs, logit_lengths, targets, target_lengths, blank_id):
+def _ctc_fwd_impl(log_probs, logit_lengths, targets, target_lengths, blank_id,
+                  impl="auto"):
     log_probs = log_probs.astype(jnp.float32)
     B, T, V = log_probs.shape
     _, allow_skip, onehot = _topology(targets, blank_id, V)
     lp_ext = _emissions(log_probs, onehot)
-    alphas = _forward_alphas(lp_ext, allow_skip)
+    S2 = lp_ext.shape[2]
+    if _resolve_impl(impl) == "pallas" and T >= 2 and S2 >= 3:
+        alphas = _forward_alphas_pallas(lp_ext, allow_skip)
+    else:
+        alphas = _forward_alphas(lp_ext, allow_skip)
     ll = _loglik(alphas, logit_lengths, target_lengths)
     impossible = ll <= NEG_INF / 2
     loss = jnp.where(impossible, 0.0, -ll)
     return loss, (lp_ext, alphas, allow_skip, onehot, ll, impossible)
 
 
-def _ctc_fwd(log_probs, logit_lengths, targets, target_lengths, blank_id):
-    loss, res = _ctc_fwd_impl(log_probs, logit_lengths, targets, target_lengths, blank_id)
+def _ctc_fwd(log_probs, logit_lengths, targets, target_lengths, blank_id, impl):
+    loss, res = _ctc_fwd_impl(
+        log_probs, logit_lengths, targets, target_lengths, blank_id, impl
+    )
     return loss, (res, logit_lengths, target_lengths)
 
 
-def _ctc_bwd(blank_id, carry, g):
+def _ctc_bwd(blank_id, impl, carry, g):
     (lp_ext, alphas, allow_skip, onehot, ll, impossible), logit_lengths, target_lengths = carry
     T, B, S2 = lp_ext.shape
 
@@ -189,16 +351,21 @@ def _ctc_bwd(blank_id, carry, g):
         beta_t = jnp.where(is_last, beta_final, merged)
         return beta_t, beta_t
 
-    beta_T = jnp.where(
-        (T - 1 == logit_lengths - 1)[:, None], beta_final, jnp.full((B, S2), NEG_INF)
-    )
-    _, betas_rev = jax.lax.scan(
-        step,
-        beta_T,
-        (lp_ext[1:][::-1], jnp.arange(T - 1)[::-1]),
-        unroll=8,
-    )
-    betas = jnp.concatenate([betas_rev[::-1], beta_T[None]], axis=0)  # (T, B, S2)
+    if _resolve_impl(impl) == "pallas" and T >= 2 and S2 >= 3:
+        betas = _betas_pallas(lp_ext, logit_lengths, beta_final, skip_from)
+    else:
+        beta_T = jnp.where(
+            (T - 1 == logit_lengths - 1)[:, None],
+            beta_final,
+            jnp.full((B, S2), NEG_INF),
+        )
+        _, betas_rev = jax.lax.scan(
+            step,
+            beta_T,
+            (lp_ext[1:][::-1], jnp.arange(T - 1)[::-1]),
+            unroll=8,
+        )
+        betas = jnp.concatenate([betas_rev[::-1], beta_T[None]], axis=0)  # (T, B, S2)
 
     t_idx = jnp.arange(T)[:, None, None]
     valid = t_idx < logit_lengths[None, :, None]
@@ -223,7 +390,7 @@ def _ctc_bwd(blank_id, carry, g):
 ctc_loss.defvjp(_ctc_fwd, _ctc_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("blank_id", "reduction"))
+@functools.partial(jax.jit, static_argnames=("blank_id", "reduction", "impl"))
 def ctc_loss_reduced(
     log_probs: jnp.ndarray,
     logit_lengths: jnp.ndarray,
@@ -231,9 +398,12 @@ def ctc_loss_reduced(
     target_lengths: jnp.ndarray,
     blank_id: int = 0,
     reduction: str = "mean",
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """CTC loss with torch-style reduction (``mean`` | ``sum`` | ``none``)."""
-    per_sample = ctc_loss(log_probs, logit_lengths, targets, target_lengths, blank_id)
+    per_sample = ctc_loss(
+        log_probs, logit_lengths, targets, target_lengths, blank_id, impl
+    )
     if reduction == "none":
         return per_sample
     if reduction == "sum":

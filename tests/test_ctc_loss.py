@@ -137,3 +137,26 @@ def test_padding_invariance():
         jnp.asarray(lp_pad), jnp.asarray(ll), jnp.asarray(tg_pad), jnp.asarray(tl), BLANK
     )
     np.testing.assert_allclose(np.asarray(base), np.asarray(padded), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_impl_matches_scan_bitwise():
+    """Mosaic α/β kernels (interpret mode here; compiled in tests/tpu) vs the
+    XLA scans: identical op order → bitwise-equal values AND gradients,
+    including ragged lengths and an impossible (zero_infinity) row."""
+    rng = np.random.default_rng(7)
+    lp, ll, tg, tl = _rand_batch(rng, B=4, T=18, S=5)
+    ll[1] = 3  # impossible: 3 frames for up-to-5 labels (plus blanks)
+    tl[1] = 5
+    args = (jnp.asarray(lp), jnp.asarray(ll), jnp.asarray(tg), jnp.asarray(tl))
+
+    def run(impl):
+        def loss(x):
+            return jnp.sum(ctc_loss(x, *args[1:], BLANK, impl))
+
+        v, g = jax.value_and_grad(loss)(args[0])
+        return np.asarray(v), np.asarray(g)
+
+    v_scan, g_scan = run("scan")
+    v_pallas, g_pallas = run("pallas")
+    np.testing.assert_array_equal(v_scan, v_pallas)
+    np.testing.assert_array_equal(g_scan, g_pallas)

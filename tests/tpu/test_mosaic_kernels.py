@@ -191,6 +191,41 @@ def test_device_lm_matches_host_oracle_on_chip():
     assert got == want
 
 
+# ----------------------------------------------------------- CTC (Mosaic)
+def test_ctc_pallas_matches_scan_on_chip():
+    """Mosaic α/β CTC kernels COMPILED on the chip vs the XLA scan path:
+    values and input gradients, ragged lengths + one impossible row.
+    Production shapes (B=32, T=192, S=48) — the train step's actual call."""
+    from ssd_tpu.ops.ctc_loss import ctc_loss
+
+    rng = np.random.default_rng(11)
+    B, T, V, S = 32, 192, 48, 48
+    logits = rng.normal(size=(B, T, V)).astype(np.float32) * 2
+    lp = jnp.asarray(logits)
+    lp = lp - jax.nn.logsumexp(lp, axis=-1, keepdims=True)
+    ll = rng.integers(T // 2, T + 1, size=B).astype(np.int32)
+    tg = rng.integers(1, V, size=(B, S)).astype(np.int32)
+    tl = rng.integers(1, S + 1, size=(B,)).astype(np.int32)
+    ll[3], tl[3] = 5, S  # impossible alignment → zero_infinity row
+    args = (jnp.asarray(ll), jnp.asarray(tg), jnp.asarray(tl))
+
+    def run(impl):
+        def loss(x):
+            return jnp.sum(ctc_loss(x, *args, 0, impl))
+
+        v, g = jax.jit(jax.value_and_grad(loss))(lp)
+        return np.asarray(v), np.asarray(g)
+
+    v_scan, g_scan = run("scan")
+    v_pallas, g_pallas = run("pallas")
+    # Same op order, but Mosaic's exp/log lowering may differ ulp-level
+    # from XLA's scan body → allclose, not array_equal (CPU-interpret
+    # parity IS bitwise: tests/test_ctc_loss.py).
+    np.testing.assert_allclose(v_pallas, v_scan, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(g_pallas, g_scan, rtol=1e-4, atol=1e-5)
+    assert np.isfinite(v_scan)
+
+
 # ------------------------------------------------------------ int8 (MXU)
 def test_int8_paths_on_chip():
     """The int8 MXU path (dynamic W8A8 and prequantized weights) compiled on
