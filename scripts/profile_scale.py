@@ -62,20 +62,23 @@ def step_flops(B, D, L, H, FFN, K=15, train=True) -> float:
     return 3.0 * fwd if train else fwd
 
 
-def build(scale, B, remat=False, quantize=None, dropout=0.12, scan=False):
+def build(scale, B, remat=False, quantize=None, dropout=0.12, scan=False,
+          remat_policy="full"):
     D, L, H, FFN = SCALES[scale]
     enc = EncoderConfig(
         input_dim=F, d_model=D, num_layers=L, num_heads=H, ffn_dim=FFN,
         depthwise_conv_kernel_size=15, dropout=dropout, subsample_factor=2,
         compute_dtype="bfloat16", remat=remat, scan_layers=scan,
+        remat_policy=remat_policy,
         **({"quantize": quantize} if quantize else {}),
     )
     return SSDModel(encoder_cfg=enc, projection_dim=768, vocab_size=V,
                     ctc_dropout=dropout)
 
 
-def train_variant(scale, B, remat, scan=False, compile_only=False):
-    model = build(scale, B, remat=remat, scan=scan)
+def train_variant(scale, B, remat, scan=False, compile_only=False,
+                  remat_policy="full"):
+    model = build(scale, B, remat=remat, scan=scan, remat_policy=remat_policy)
     cfg = {"optim": {"lr": 3e-4, "weight_decay": 1e-2, "clip_grad_norm": 5.0,
                      "grad_accum": 1,
                      "scheduler": {"name": "warmup_hold", "warmup_steps": 800}}}
@@ -153,7 +156,8 @@ def train_variant(scale, B, remat, scan=False, compile_only=False):
         f"{dt*1e3:8.2f} ms/step {B/dt:8.1f} utt/s "
         f"{tf:6.1f} TF/s  MFU {tf/PEAK_BF16_TFLOPS:5.1%}"
         f"  compile {compile_s:.0f}s"
-        f"{'  (remat)' if remat else ''}{'  (scan)' if scan else ''}",
+        f"{'  (remat:' + remat_policy + ')' if remat else ''}"
+        f"{'  (scan)' if scan else ''}",
         flush=True,
     )
 
@@ -217,6 +221,10 @@ if __name__ == "__main__":
     remat = "--remat" in args
     infer = "--infer" in args
     scan = "--scan" in args
+    remat_policy = "full"
+    if "--remat-policy" in args:
+        remat_policy = args[args.index("--remat-policy") + 1]
+        remat = True
     bsz = 32
     if "--b" in args:
         bsz = int(args[args.index("--b") + 1])
@@ -225,4 +233,5 @@ if __name__ == "__main__":
         if infer:
             infer_variant(s, min(bsz, 8) if bsz == 32 else bsz)
         else:
-            train_variant(s, bsz, remat, scan, "--compile-only" in args)
+            train_variant(s, bsz, remat, scan, "--compile-only" in args,
+                          remat_policy=remat_policy)

@@ -71,6 +71,13 @@ class EncoderConfig:
     conv_norm: str = "batch"  # batch (torchaudio parity) | layer
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay fp32)
     remat: bool = False  # rematerialize blocks in backward (memory ↔ FLOPs)
+    # What remat SAVES (only read when remat: true). full: save nothing,
+    # recompute the whole block (max memory savings, max recompute). dots:
+    # save matmul outputs (jax.checkpoint_policies.checkpoint_dots) — the
+    # backward recomputes only cheap elementwise/norm work, trading a little
+    # memory for most of full-remat's step-time cost back. dots_no_batch:
+    # like dots but skips batched dots (saves less, recomputes more).
+    remat_policy: str = "full"  # full | dots | dots_no_batch
     # flax: XLA dot_product_attention. fused: whole-head-in-VMEM Pallas
     # kernel (ops/attention.py) — same params/checkpoints, fp32 softmax.
     attention_impl: str = "flax"  # flax | fused
@@ -376,6 +383,24 @@ class ConformerBlock(nn.Module):
         return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
 
 
+_REMAT_POLICIES = {
+    "full": None,  # save nothing — recompute the whole block in backward
+    "dots": "checkpoint_dots",
+    "dots_no_batch": "checkpoint_dots_with_no_batch_dims",
+}
+
+
+def _block_cls(cfg: EncoderConfig):
+    """ConformerBlock, wrapped in nn.remat per (remat, remat_policy)."""
+    if not cfg.remat:
+        return ConformerBlock
+    policy_name = _REMAT_POLICIES[cfg.remat_policy]
+    kwargs: dict = {"static_argnums": (3,)}
+    if policy_name is not None:
+        kwargs["policy"] = getattr(jax.checkpoint_policies, policy_name)
+    return nn.remat(ConformerBlock, **kwargs)
+
+
 class _ScanBody(nn.Module):
     """One scan step: carry = activations; layer-stacked params/stats."""
 
@@ -384,12 +409,9 @@ class _ScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pad_mask: jnp.ndarray):
-        block_cls = (
-            nn.remat(ConformerBlock, static_argnums=(3,))
-            if self.cfg.remat
-            else ConformerBlock
-        )
-        return block_cls(self.cfg, name="block")(x, pad_mask, self.train), None
+        return _block_cls(self.cfg)(self.cfg, name="block")(
+            x, pad_mask, self.train
+        ), None
 
 
 def _scan_blocks(cfg: EncoderConfig, train: bool):
@@ -480,11 +502,7 @@ class EMGConformerEncoder(nn.Module):
             # tests/test_scan_layers.py pins both).
             x, _ = _scan_blocks(c, train)(x.astype(jnp.float32), pad_mask)
         else:
-            block_cls = (
-                nn.remat(ConformerBlock, static_argnums=(3,))
-                if c.remat
-                else ConformerBlock
-            )
+            block_cls = _block_cls(c)
             for i in range(c.num_layers):
                 x = block_cls(c, name=f"block_{i}")(x, pad_mask, train)
         # leave sequence parallelism: heads are cheap per-position matmuls but

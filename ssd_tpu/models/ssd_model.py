@@ -60,6 +60,7 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         conv_norm=enc.get("conv_norm", "batch"),
         compute_dtype=enc.get("compute_dtype", "float32"),
         remat=enc.get("remat", False),
+        remat_policy=enc.get("remat_policy", "full"),
         attention_impl=enc.get("attention_impl", "flax"),
         depthwise_impl=enc.get("depthwise_impl", "lax"),
         quantize=enc.get("quantize", "none"),
@@ -67,6 +68,11 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         scan_layers=enc.get("scan_layers", False),
         pipeline_microbatches=int(enc.get("pipeline_microbatches", 0)),
     )
+    if encoder_cfg.remat_policy not in ("full", "dots", "dots_no_batch"):
+        raise ValueError(
+            f"model.encoder.remat_policy must be 'full', 'dots', or "
+            f"'dots_no_batch', got {encoder_cfg.remat_policy!r}"
+        )
     if encoder_cfg.quantize not in ("none", "int8", "int8_prequant"):
         raise ValueError(
             f"model.encoder.quantize must be 'none', 'int8', or "

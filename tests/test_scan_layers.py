@@ -206,6 +206,64 @@ def test_partition_rules_on_stacked_tree():
     assert tuple(param_pspec(path3, Leaf((32, 64)))) == (None, "model")
 
 
+def test_remat_policies_match_no_remat():
+    """remat_policy changes WHAT the backward recomputes, never the math:
+    every policy's loss and gradients match the no-remat baseline."""
+    emg, lengths = _data()
+    base_model = EMGConformerEncoder(EncoderConfig(**CFG))
+    variables = base_model.init(jax.random.PRNGKey(0), emg, lengths, train=False)
+
+    def val_and_grad(model):
+        def loss(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                emg, lengths, train=False,
+            )
+            return jnp.sum(out ** 2)
+
+        return jax.jit(jax.value_and_grad(loss))(variables["params"])
+
+    v0, g0 = val_and_grad(base_model)
+    for policy in ("full", "dots", "dots_no_batch"):
+        model = EMGConformerEncoder(
+            EncoderConfig(**CFG, remat=True, remat_policy=policy)
+        )
+        v, g = val_and_grad(model)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v0), rtol=1e-6)
+        # recompute reorders fp32 reductions, so analytically-zero grads
+        # (e.g. attention key bias, softmax shift-invariant) carry ~1e-12
+        # noise with huge RELATIVE error; compare at the global grad scale.
+        scale = max(
+            float(np.max(np.abs(np.asarray(x))))
+            for x in jax.tree_util.tree_leaves(g0)
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g0)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
+            )
+
+
+def test_remat_policy_validated():
+    import pytest
+
+    from ssd_tpu.models.ssd_model import build_model
+
+    cfg = {
+        "model": {
+            "encoder": {
+                "d_model": 32, "num_layers": 2, "num_heads": 4, "ffn_dim": 64,
+                "depthwise_conv_kernel_size": 7, "remat": True,
+                "remat_policy": "typo",
+            },
+            "projection_dim": 16,
+        }
+    }
+    with pytest.raises(ValueError, match="remat_policy"):
+        build_model(cfg, input_dim=16, vocab_size=8)
+
+
 def test_scan_remat_composes():
     cfg = EncoderConfig(**CFG, scan_layers=True, remat=True)
     model = EMGConformerEncoder(cfg)
