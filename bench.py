@@ -15,6 +15,7 @@ publishes no direct throughput number.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -148,14 +149,28 @@ def bench_train(jax, jnp):
         batch = shard_batch(mesh, batch_np)
         final_loss = [0.0]
 
+        # Headline measurement: K steps chained ON DEVICE in one executable
+        # (lax.fori_loop, dynamic trip count so one compile serves warmup and
+        # both timed points). Per-call host dispatch over the remote tunnel
+        # is multi-ms and VARIABLE — an unlucky run of the per-step-dispatch
+        # slope once read 26.9 ms/step where the device loop reads 13.6
+        # (docs/PERF.md "Measurement methodology"). The two-point slope over
+        # loop lengths still cancels the constant dispatch+readback cost.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_k_steps(st, k):
+            def body(_, carry):
+                st, _ = carry
+                st, losses = train_step(st, batch, lambdas, drop_rng)
+                return st, losses["total"]
+
+            return jax.lax.fori_loop(0, k, body, (st, jnp.float32(0)))
+
         def run_n(n):
             nonlocal state
-            losses = None
-            for _ in range(n):
-                state, losses = train_step(state, batch, lambdas, drop_rng)
-            final_loss[0] = float(losses["total"])  # scalar readback = fence
+            state, total = run_k_steps(state, jnp.int32(n))
+            final_loss[0] = float(total)  # scalar readback = true fence
 
-        sec_per_step = _timed_slope(run_n, 5, 25)
+        sec_per_step = _timed_slope(run_n, 10, 40)
 
     utt_per_sec = BATCH / sec_per_step
     ctx = dict(
