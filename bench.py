@@ -441,7 +441,7 @@ def main() -> None:
     # hard cap and is honored as-is (overrunning it could get the process
     # killed before the JSON line prints).
     if "SSD_BENCH_BUDGET_SEC" not in os.environ:
-        budget = max(budget, (time.time() - t_start) + 420)
+        budget = max(budget, (time.time() - t_start) + 480)
     decode_p50 = None
     decode_p50_exact = None
     lm_decode_p50 = None
@@ -476,9 +476,11 @@ def main() -> None:
     # exact (all-token-sort) decode path: the eval CLI default; compile+measure
     # only when real slack remains (a separate executable, and the remote
     # compiler can be slow) or explicitly requested — it is informational
-    # (r2 recorded 4.7 ms; docs/PERF.md)
+    # (r2 recorded 4.7 ms; docs/PERF.md). 240 s covers the observed exact-path
+    # compile (~2–4 min); a fast-compile run (train graph in ~3.5 min) lands
+    # here with ~4 min of slack and would miss the number at a 300 s guard.
     if os.environ.get("SSD_BENCH_EXACT") == "1" or (
-        time.time() - t_start < budget - 300
+        time.time() - t_start < budget - 240
     ):
         try:
             _mark("exact decode: compile + measure")
