@@ -39,8 +39,11 @@ def flagship(**enc_kwargs):
                     ctc_dropout=0.12)
 
 
-def time_device_loop(fwd, run_vars, emg, lengths, k=K):
-    """ms/batch for one forward, K chained on device.
+def time_device_loop(fwd, run_vars, emg, lengths, k_lo=16, k_hi=K):
+    """ms/batch for one forward: slope between a k_lo- and a k_hi-length
+    on-device chain, so the constant remote dispatch+readback cancels
+    exactly (dividing one interval by k only amortizes it, biasing sub-ms
+    batch times upward).
 
     The carry feeds a data-dependent (but numerically negligible) scalar
     from each output back into the next input, so XLA cannot overlap or
@@ -62,10 +65,16 @@ def time_device_loop(fwd, run_vars, emg, lengths, k=K):
     x = run_k(jnp.array(emg), jnp.int32(2))  # compile + warm (same executable)
     float(x[0, 0, 0])  # scalar readback = true fence
     compile_s = time.time() - t0
-    t0 = time.perf_counter()
-    x = run_k(x, jnp.int32(k))
-    float(x[0, 0, 0])
-    dt = (time.perf_counter() - t0) / k
+
+    def timed(x, k):
+        t0 = time.perf_counter()
+        x = run_k(x, jnp.int32(k))
+        float(x[0, 0, 0])
+        return time.perf_counter() - t0, x
+
+    t_lo, x = timed(x, k_lo)
+    t_hi, x = timed(x, k_hi)
+    dt = (t_hi - t_lo) / (k_hi - k_lo)
     return dt, compile_s
 
 

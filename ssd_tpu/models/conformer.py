@@ -394,6 +394,11 @@ def _block_cls(cfg: EncoderConfig):
     """ConformerBlock, wrapped in nn.remat per (remat, remat_policy)."""
     if not cfg.remat:
         return ConformerBlock
+    if cfg.remat_policy not in _REMAT_POLICIES:
+        raise ValueError(
+            f"remat_policy={cfg.remat_policy!r} — expected one of "
+            f"{sorted(_REMAT_POLICIES)}"
+        )
     policy_name = _REMAT_POLICIES[cfg.remat_policy]
     kwargs: dict = {"static_argnums": (3,)}
     if policy_name is not None:

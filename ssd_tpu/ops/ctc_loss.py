@@ -391,16 +391,9 @@ ctc_loss.defvjp(_ctc_fwd, _ctc_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("blank_id", "reduction", "impl"))
-def ctc_loss_reduced(
-    log_probs: jnp.ndarray,
-    logit_lengths: jnp.ndarray,
-    targets: jnp.ndarray,
-    target_lengths: jnp.ndarray,
-    blank_id: int = 0,
-    reduction: str = "mean",
-    impl: str = "auto",
-) -> jnp.ndarray:
-    """CTC loss with torch-style reduction (``mean`` | ``sum`` | ``none``)."""
+def _ctc_loss_reduced_jit(
+    log_probs, logit_lengths, targets, target_lengths, blank_id, reduction, impl
+):
     per_sample = ctc_loss(
         log_probs, logit_lengths, targets, target_lengths, blank_id, impl
     )
@@ -412,3 +405,26 @@ def ctc_loss_reduced(
         denom = jnp.maximum(target_lengths, 1).astype(jnp.float32)
         return jnp.mean(per_sample / denom)
     raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def ctc_loss_reduced(
+    log_probs: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+    blank_id: int = 0,
+    reduction: str = "mean",
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """CTC loss with torch-style reduction (``mean`` | ``sum`` | ``none``).
+
+    ``impl='auto'`` is resolved HERE, outside the jit, so flipping
+    ``SSD_CTC_IMPL`` between calls takes effect (the resolved value is the
+    static cache key). When :func:`ctc_loss` is traced inside a larger jit
+    (the train step), the env var is read at trace time instead — set it
+    before the first step, or pass ``impl=`` explicitly.
+    """
+    return _ctc_loss_reduced_jit(
+        log_probs, logit_lengths, targets, target_lengths, blank_id,
+        reduction, _resolve_impl(impl),
+    )

@@ -162,3 +162,16 @@ def test_distill_masked_mse_matches_torch_reference_formula():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_invalid_remat_policy_raises_value_error():
+    """ADVICE r3: a typo'd remat_policy on a directly-constructed
+    EncoderConfig (bypassing build_model validation) must raise a clear
+    ValueError, not a bare KeyError."""
+    import pytest
+
+    from ssd_tpu.models.conformer import _block_cls
+
+    cfg = EncoderConfig(input_dim=16, remat=True, remat_policy="dotz")
+    with pytest.raises(ValueError, match="remat_policy"):
+        _block_cls(cfg)
