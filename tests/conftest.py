@@ -25,9 +25,12 @@ if os.environ.get("SSD_TEST_TPU") != "1":
             _flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
-    # NOTE: do NOT enable the persistent compilation cache here — on this jax
-    # build, restoring a cached executable with donated buffers aborts the
-    # process (reproducible SIGABRT in the train-step loop on warm cache).
+    # NOTE: the persistent compilation cache stays OFF here for test
+    # hermeticity (no cross-test executable reuse). History: an earlier jax
+    # build SIGABRTed when restoring a cached executable with donated
+    # buffers; on jax 0.9.0 the warm restore of the donated train step works
+    # on both CPU and the TPU and is covered by
+    # test_compile_cache.py::test_warm_cache_restart_of_donated_train_step.
 
     # The axon TPU plugin can override JAX_PLATFORMS; pin via jax.config too.
     import jax  # noqa: E402
