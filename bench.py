@@ -175,7 +175,7 @@ def bench_train(jax, jnp):
     utt_per_sec = BATCH / sec_per_step
     ctx = dict(
         state=state, train_step=train_step, mesh=mesh,
-        lambdas=lambdas, drop_rng=drop_rng,
+        lambdas=lambdas, drop_rng=drop_rng, batch=batch,
     )
     return utt_per_sec / n_dev, final_loss[0], sec_per_step, ctx
 
@@ -276,6 +276,10 @@ def bench_epoch(jax, jnp, ctx, n_utts=96, epochs=2):
             loader.epoch += 1
             run_epoch(True)
         full_rate = epochs * n_utts / (time.perf_counter() - t0)
+    # hand the live (post-donation) state back: bench_train's copy was
+    # donated to the steps above, and main() measures the per-dispatch
+    # slope on this same warm executable afterwards
+    ctx["state"] = state
     n_dev = len(jax.devices())
     return full_rate / n_dev, host_rate
 
@@ -306,7 +310,7 @@ def warm_decode(jax, jnp):
     float(scores[0, 0])
 
 
-def bench_decode(jax, jnp, token_top_k=TOKEN_TOP_K):
+def bench_decode(jax, jnp, token_top_k=TOKEN_TOP_K, beam_width=DECODE_BEAM):
     from ssd_tpu.ops.ctc_decode import beam_search
 
     lp, lengths = _decode_inputs(jax, jnp)
@@ -315,7 +319,7 @@ def bench_decode(jax, jnp, token_top_k=TOKEN_TOP_K):
         s = None
         for _ in range(n):
             chars, parents, scores = beam_search(
-                lp, lengths, blank_id=1, pad_id=0, beam_width=DECODE_BEAM,
+                lp, lengths, blank_id=1, pad_id=0, beam_width=beam_width,
                 token_top_k=token_top_k,
             )
             s = scores
@@ -465,6 +469,29 @@ def main() -> None:
             _mark(f"epoch done: full {epoch_tput:.1f}, host {epoch_host:.1f} utt/s")
         except Exception as exc:
             _mark(f"epoch FAILED: {exc!r}")
+    # Secondary headline (ADVICE r3): per-HOST-DISPATCH slope on the same
+    # warm standalone step executable — what train.py's host-side loop pays
+    # on this rig. The device-chained headline excludes that dispatch; both
+    # are reported so the methodology difference stays visible. Only runs
+    # when the epoch phase compiled the standalone executable (otherwise
+    # this would pay a fresh multi-minute remote compile).
+    dispatch_sec = None
+    if epoch_tput is not None:
+        try:
+            def run_disp(n):
+                st, losses = ctx["state"], None
+                for _ in range(n):
+                    st, losses = ctx["train_step"](
+                        st, ctx["batch"], ctx["lambdas"], ctx["drop_rng"]
+                    )
+                ctx["state"] = st
+                float(losses["total"])  # scalar readback = fence
+
+            with ctx["mesh"]:
+                dispatch_sec = _timed_slope(run_disp, 10, 40)
+            _mark(f"per-dispatch slope: {dispatch_sec * 1e3:.1f} ms/step")
+        except Exception as exc:
+            _mark(f"per-dispatch slope FAILED: {exc!r}")
     # LM-fused device search (VERDICT r2 missing #3): its own executable
     if time.time() - t_start < budget - 60:
         try:
@@ -488,6 +515,16 @@ def main() -> None:
             _mark(f"exact decode done: {decode_p50_exact * 1e3:.1f} ms/utt")
         except Exception:
             decode_p50_exact = None
+    # beam-100 (BASELINE.md's silent-best decoder width) — informational,
+    # only when real slack remains after everything above
+    decode_p50_beam100 = None
+    if time.time() - t_start < budget - 240:
+        try:
+            _mark("beam100 decode: compile + measure")
+            decode_p50_beam100 = bench_decode(jax, jnp, beam_width=100)
+            _mark(f"beam100 done: {decode_p50_beam100 * 1e3:.1f} ms/utt")
+        except Exception:
+            decode_p50_beam100 = None
 
     flops = _train_step_flops()
     kind = jax.devices()[0].device_kind
@@ -509,6 +546,11 @@ def main() -> None:
                         if decode_p50_exact is not None
                         else None
                     ),
+                    "beam100_decode_p50_sec_per_utt": (
+                        round(decode_p50_beam100, 4)
+                        if decode_p50_beam100 is not None
+                        else None
+                    ),
                     "lm_fused_beam50_p50_sec_per_utt": (
                         round(lm_decode_p50, 4) if lm_decode_p50 is not None else None
                     ),
@@ -528,6 +570,15 @@ def main() -> None:
                     "batch": BATCH,
                     "frames": T_FRAMES,
                     "sec_per_step": round(sec_per_step, 5),
+                    # headline = device-chained steps (one fori_loop
+                    # executable; excludes per-step host dispatch, which on
+                    # this remote rig is multi-ms and variable). The
+                    # per-dispatch slope below is what a host-side step loop
+                    # (training.train) pays here.
+                    "headline_methodology": "device-chained fori_loop slope",
+                    "sec_per_step_per_dispatch": (
+                        round(dispatch_sec, 5) if dispatch_sec is not None else None
+                    ),
                     "flops_per_step": round(flops),
                     "achieved_bf16_tflops": round(achieved_tflops, 1),
                     # achieved_tflops is AGGREGATE across the mesh; divide by

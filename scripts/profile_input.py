@@ -37,9 +37,15 @@ import argparse
 _parser = argparse.ArgumentParser(description=__doc__)
 _parser.add_argument("n_utts", type=int, nargs="?", default=256)
 _parser.add_argument("--bf16", action="store_true")
+_parser.add_argument(
+    "--workers", default="0",
+    help="comma list of num_workers values to sweep (VERDICT r3 #8: measure "
+    "worker-process scaling instead of asserting it), e.g. 0,2,4",
+)
 _cli = _parser.parse_args()
 N = _cli.n_utts
 BF16 = _cli.bf16
+WORKER_SWEEP = [int(w) for w in _cli.workers.split(",")]
 B = 32
 
 
@@ -78,32 +84,41 @@ def main() -> None:
             dtype_kw = dict(
                 emg_dtype=ml_dtypes.bfloat16, teacher_dtype=ml_dtypes.bfloat16
             )
-        loader = make_dataloader(
-            idx, root / "features", ["voiced_parallel_data"], ["train"],
-            default_vocab(), batch_size=B,
-            spec_augment_cfg=SpecAugmentConfig(),  # reference augment on
-            **dtype_kw,
-        )
-        # warm one epoch (page cache + bucket shapes)
-        for batch in prefetch(loader):
-            batch_to_arrays(batch, include_teacher=True)
-        n_utts = 0
-        t0 = time.perf_counter()
-        for _ in range(3):
-            loader.epoch += 1
+        sweep = {}
+        for workers in WORKER_SWEEP:
+            loader = make_dataloader(
+                idx, root / "features", ["voiced_parallel_data"], ["train"],
+                default_vocab(), batch_size=B,
+                spec_augment_cfg=SpecAugmentConfig(),  # reference augment on
+                num_workers=workers,
+                **dtype_kw,
+            )
+            # warm one epoch (page cache + bucket shapes + worker spawn)
             for batch in prefetch(loader):
-                arrays = batch_to_arrays(batch, include_teacher=True)
-                arrays, _ = pad_batch_to_multiple(arrays, 8)
-                arrays["weight"][batch.size:] = 0.0
-                n_utts += batch.size
-        dt = time.perf_counter() - t0
-        mb = n_utts * 768 * 640 * 4 / 1e6
-        print(json.dumps({
-            "utterances": n_utts,
-            "seconds": round(dt, 2),
-            "host_input_utt_per_sec": round(n_utts / dt, 1),
-            "approx_feature_MB_per_sec": round(mb / dt, 1),
-        }))
+                batch_to_arrays(batch, include_teacher=True)
+            n_utts = 0
+            t0 = time.perf_counter()
+            for _ in range(3):
+                loader.epoch += 1
+                for batch in prefetch(loader):
+                    arrays = batch_to_arrays(batch, include_teacher=True)
+                    arrays, _ = pad_batch_to_multiple(arrays, 8)
+                    arrays["weight"][batch.size:] = 0.0
+                    n_utts += batch.size
+            dt = time.perf_counter() - t0
+            if hasattr(loader, "close"):
+                loader.close()
+            mb = n_utts * 768 * 640 * 4 / 1e6
+            sweep[workers] = round(n_utts / dt, 1)
+            print(json.dumps({
+                "num_workers": workers,
+                "utterances": n_utts,
+                "seconds": round(dt, 2),
+                "host_input_utt_per_sec": round(n_utts / dt, 1),
+                "approx_feature_MB_per_sec": round(mb / dt, 1),
+            }), flush=True)
+        if len(sweep) > 1:
+            print(json.dumps({"worker_sweep_utt_per_sec": sweep}))
 
 
 if __name__ == "__main__":

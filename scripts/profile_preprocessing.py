@@ -1,0 +1,159 @@
+"""On-chip throughput for the two offline featurization hot loops.
+
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_preprocessing.py \
+        [--mode both] [--emg-utts 128] [--teacher-utts 48] [--batch-size 16]
+
+SURVEY §3.2's offline hot paths (reference ``src/data/preprocessing.py:
+67-85`` EMG log-mel, ``:148-197`` WavLM teacher forward) measured through
+THIS framework's batched implementations — ``process_emg_rows`` (fused
+Pallas featurizer, sample-bucketed batches) and ``process_teacher_rows``
+(padded/masked batched WavLM, random base-plus weights — FLOP-identical to
+real ones). Timing is the warm second pass of the real processing loop,
+including disk reads, device round-trips, and .npy/.json writes — what a
+user of the CLI experiences after the first batch of compiles.
+
+EMG features use the reference's real-run STFT params (n_fft 320, hop 10 —
+SURVEY §2.4), not the CLI defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import wave as wave_mod
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def make_rows(tmp: Path, n: int, seed: int, with_audio: bool):
+    """Synthetic corpus rows: 8-ch EMG at 1 kHz and/or 16 kHz wav, 4–8 s."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    (tmp / "emg").mkdir(parents=True, exist_ok=True)
+    (tmp / "audio").mkdir(parents=True, exist_ok=True)
+    total_sec = 0.0
+    for i in range(n):
+        dur = float(rng.uniform(4.0, 8.0))
+        total_sec += dur
+        emg_rel = f"emg/{i}.npy"
+        np.save(tmp / emg_rel, rng.normal(size=(int(dur * 1000), 8)).astype(np.float32))
+        audio_rel = None
+        if with_audio:
+            audio_rel = f"audio/{i}.wav"
+            pcm = (rng.uniform(-0.3, 0.3, size=int(dur * 16000)) * 32767).astype(np.int16)
+            with wave_mod.open(str(tmp / audio_rel), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+        rows.append(dict(
+            utterance_id=f"bench/s1/{i}", split="bench", subset="train",
+            speaker="s1", stem=str(i), emg_path=emg_rel, audio_path=audio_rel,
+            transcript="x", sentence_index=i, book="", has_audio=with_audio,
+            metadata_json="{}",
+        ))
+    return list(pd.DataFrame(rows).itertuples(index=False)), total_sec
+
+
+def random_wavlm_dir(cache: Path) -> Path:
+    """Random-weights base-plus checkpoint in HF safetensors layout
+    (reused across runs — building the torch model takes ~a minute)."""
+    if sorted(cache.glob("*.safetensors")):
+        return cache
+    import torch
+    from transformers import WavLMConfig as HFConfig, WavLMModel
+
+    hf_cfg = HFConfig(
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, conv_dim=[512] * 7,
+        conv_kernel=[10, 3, 3, 3, 3, 2, 2], conv_stride=[5, 2, 2, 2, 2, 2, 2],
+        num_conv_pos_embeddings=128, num_conv_pos_embedding_groups=16,
+        num_buckets=320, max_bucket_distance=800, do_stable_layer_norm=False,
+        feat_extract_norm="group", conv_bias=False,
+        mask_time_prob=0.0, mask_feature_prob=0.0, layerdrop=0.0,
+    )
+    torch.manual_seed(0)
+    model = WavLMModel(hf_cfg)
+    model.eval()
+    cache.mkdir(parents=True, exist_ok=True)
+    model.save_pretrained(cache, safe_serialization=True)
+    return cache
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["emg", "teacher", "both"], default="both")
+    p.add_argument("--emg-utts", type=int, default=128)
+    p.add_argument("--teacher-utts", type=int, default=48)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--workdir", type=Path, default=Path("/tmp/ssd_preproc_bench"))
+    args = p.parse_args()
+
+    import jax
+
+    from ssd_tpu.data.preprocessing import process_emg_rows, process_teacher_rows
+    from ssd_tpu.ops.featurizer import FeaturizerConfig
+
+    backend = jax.devices()[0].platform
+    results = {"backend": backend, "batch_size": args.batch_size}
+
+    if args.mode in ("emg", "both"):
+        tmp = args.workdir / "emg_corpus"
+        rows, total_sec = make_rows(tmp, args.emg_utts, seed=0, with_audio=False)
+        cfg = FeaturizerConfig(sample_rate=1000, n_fft=320, hop_length=10, n_mels=80)
+        out = args.workdir / "features_emg"
+        t0 = time.time()
+        n = process_emg_rows(rows, tmp, out, cfg, overwrite=True,
+                             batch_size=args.batch_size)
+        cold = time.time() - t0
+        t0 = time.time()
+        n = process_emg_rows(rows, tmp, out, cfg, overwrite=True,
+                             batch_size=args.batch_size)
+        warm = time.time() - t0
+        results["emg"] = {
+            "utts": n, "audio_sec": round(total_sec, 1),
+            "cold_wall_s": round(cold, 1), "warm_wall_s": round(warm, 1),
+            "utt_per_sec": round(n / warm, 1),
+            "audio_sec_per_sec": round(total_sec / warm, 1),
+        }
+        print(json.dumps({"emg": results["emg"]}), flush=True)
+
+    if args.mode in ("teacher", "both"):
+        tmp = args.workdir / "teacher_corpus"
+        rows, total_sec = make_rows(tmp, args.teacher_utts, seed=1, with_audio=True)
+        model_dir = random_wavlm_dir(args.workdir / "wavlm_random")
+        out = args.workdir / "features_teacher"
+        from ssd_tpu.models.wavlm import WavLMTeacher
+
+        teacher = WavLMTeacher.from_pretrained(str(model_dir), layer=9)
+        t0 = time.time()
+        n = process_teacher_rows(rows, tmp, out, model_name=str(model_dir),
+                                 layer=9, sample_rate=16000, overwrite=True,
+                                 batch_size=args.batch_size, teacher=teacher)
+        cold = time.time() - t0
+        t0 = time.time()
+        n = process_teacher_rows(rows, tmp, out, model_name=str(model_dir),
+                                 layer=9, sample_rate=16000, overwrite=True,
+                                 batch_size=args.batch_size, teacher=teacher)
+        warm = time.time() - t0
+        results["teacher"] = {
+            "utts": n, "audio_sec": round(total_sec, 1),
+            "cold_wall_s": round(cold, 1), "warm_wall_s": round(warm, 1),
+            "utt_per_sec": round(n / warm, 2),
+            "audio_sec_per_sec": round(total_sec / warm, 1),
+        }
+        print(json.dumps({"teacher": results["teacher"]}), flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

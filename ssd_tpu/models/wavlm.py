@@ -103,14 +103,58 @@ def relative_position_buckets(
 # --------------------------------------------------------------------------
 
 
+def conv_output_lengths(cfg: WavLMConfig, n_samples):
+    """Valid frame counts through the conv pyramid (HF `_get_feat_extract_
+    output_lengths`): L → (L − k)//s + 1 per layer. Works on ints, numpy,
+    or traced jnp arrays."""
+    L = n_samples
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        L = (L - k) // s + 1
+    return L
+
+
+class _MaskedChannelNorm(nn.Module):
+    """GroupNorm with num_groups == channels (per-channel stats over time),
+    extended with per-sample valid-length masking so a zero-padded batch
+    reproduces the unpadded statistics exactly. Same param names/shapes as
+    ``nn.GroupNorm`` (scale, bias) — checkpoint/conversion compatible."""
+
+    dim: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, valid=None) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        if valid is None:
+            mean = x.mean(axis=1, keepdims=True)
+            mean_sq = (x * x).mean(axis=1, keepdims=True)
+        else:
+            mask = (jnp.arange(x.shape[1])[None, :] < valid[:, None])[..., None]
+            n = jnp.maximum(valid, 1).astype(x.dtype)[:, None, None]
+            xm = jnp.where(mask, x, 0.0)
+            mean = xm.sum(axis=1, keepdims=True) / n
+            mean_sq = (xm * xm).sum(axis=1, keepdims=True) / n
+        var = mean_sq - mean * mean
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
 class FeatureEncoder(nn.Module):
     cfg: WavLMConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(B, L) waveform → (B, T, conv_dim[-1]) features."""
+    def __call__(self, x: jnp.ndarray, n_samples=None) -> jnp.ndarray:
+        """(B, L) waveform → (B, T, conv_dim[-1]) features.
+
+        ``n_samples`` (B,) enables the padded-batch path: the layer-0
+        channel norm computes its over-time statistics on valid frames
+        only, so frames whose receptive field lies inside the true length
+        are bit-identical to an unpadded forward (padding only ever feeds
+        frames BEYOND each sample's valid count — VALID conv arithmetic)."""
         c = self.cfg
         x = x[:, :, None]  # (B, L, 1)
+        valid = n_samples
         for i, (dim, k, s) in enumerate(zip(c.conv_dim, c.conv_kernel, c.conv_stride)):
             x = nn.Conv(
                 features=dim,
@@ -120,11 +164,11 @@ class FeatureEncoder(nn.Module):
                 use_bias=c.conv_bias,
                 name=f"conv_{i}",
             )(x)
+            if valid is not None:
+                valid = (valid - k) // s + 1
             if i == 0:
                 # per-channel group norm over time (num_groups == channels)
-                x = nn.GroupNorm(
-                    num_groups=dim, epsilon=1e-5, name="group_norm"
-                )(x)
+                x = _MaskedChannelNorm(dim, name="group_norm")(x, valid)
             x = nn.gelu(x, approximate=False)
         return x
 
@@ -210,12 +254,27 @@ class FlaxWavLM(nn.Module):
 
     @nn.compact
     def __call__(
-        self, input_values: jnp.ndarray, pad_mask: Optional[jnp.ndarray] = None
+        self, input_values: jnp.ndarray, n_samples: Optional[jnp.ndarray] = None
     ) -> List[jnp.ndarray]:
+        """``n_samples`` (B,) valid sample counts enable the padded-batch
+        path (offline teacher featurization at TPU-friendly static shapes):
+        masked layer-0 norm, zeroed frames ahead of the positional conv
+        (reproducing its same-padding zeros at each sample's true edge),
+        and key-masked attention. Valid output frames — the first
+        ``conv_output_lengths(cfg, n_samples)`` per sample — match the
+        unpadded forward to fp-reassociation tolerance."""
         c = self.cfg
-        feats = FeatureEncoder(c, name="feature_extractor")(input_values)
+        feats = FeatureEncoder(c, name="feature_extractor")(input_values, n_samples)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="feature_projection_ln")(feats)
         x = nn.Dense(c.hidden_size, name="feature_projection")(x)
+
+        pad_mask = None
+        if n_samples is not None:
+            n_frames = conv_output_lengths(c, n_samples)
+            pad_mask = jnp.arange(x.shape[1])[None, :] < n_frames[:, None]
+            # the unpadded forward's same-pad conv sees zeros beyond the
+            # edge; zeroing invalid frames reproduces that exactly
+            x = jnp.where(pad_mask[:, :, None], x, 0.0)
 
         pos = PositionalConvEmbedding(c, name="pos_conv_embed")(x)
         x = x + pos
@@ -380,6 +439,9 @@ class WavLMTeacher:
         self._forward = jax.jit(
             lambda p, w: self.model.apply({"params": p}, w)[self.layer]
         )
+        self._forward_batch = jax.jit(
+            lambda p, w, n: self.model.apply({"params": p}, w, n)[self.layer]
+        )
 
     # -------------------------------------------------------------- loading
     @classmethod
@@ -422,6 +484,38 @@ class WavLMTeacher:
         w = self._normalize(np.asarray(waveform, np.float32))
         out = self._forward(self.params, jnp.asarray(w[None]))
         return np.asarray(out[0], np.float32)
+
+    def extract_batch(
+        self, waveforms: List[np.ndarray], sample_bucket: int = 16000
+    ) -> List[np.ndarray]:
+        """Batched, padded extraction at TPU-friendly static shapes.
+
+        Waveforms are normalized individually (HF-processor semantics),
+        zero-padded to the batch max rounded up to ``sample_bucket``
+        (default 1 s at 16 kHz — executables are cached per (B, L_pad)
+        bucket, so a corpus compiles a handful of graphs instead of one per
+        unique length), and run through the masked forward. Returns each
+        utterance's valid (frames_i, hidden) slice; matches per-utterance
+        :meth:`extract` to fp tolerance (``tests/test_wavlm.py``)."""
+        if not waveforms:
+            return []
+        ws = [self._normalize(np.asarray(w, np.float32)) for w in waveforms]
+        n = np.asarray([w.shape[0] for w in ws], np.int32)
+        L_pad = max(
+            sample_bucket,
+            ((int(n.max()) + sample_bucket - 1) // sample_bucket) * sample_bucket,
+        )
+        batch = np.zeros((len(ws), L_pad), np.float32)
+        for i, w in enumerate(ws):
+            batch[i, : w.shape[0]] = w
+        out = self._forward_batch(self.params, jnp.asarray(batch), jnp.asarray(n))
+        frames = conv_output_lengths(self.cfg, n)
+        # ONE device→host transfer of the batch-max slice (callers feed
+        # length-sorted batches, so batch-max ≈ every row's frame count);
+        # per-utterance slice fetches measured SLOWER on a high-latency
+        # link (16 round-trips beat ~30% fewer bytes — docs/PERF.md)
+        out_np = np.asarray(out[:, : int(frames.max())], np.float32)
+        return [out_np[i, : int(frames[i])] for i in range(len(ws))]
 
 
 def _load_safetensors(path: Path) -> Dict[str, np.ndarray]:

@@ -101,3 +101,9 @@ def test_two_process_training_lockstep(tmp_path):
     # distributed backend and both processes computed the same global loss
     np.testing.assert_allclose(r0["tp"]["loss"], r1["tp"]["loss"], rtol=1e-6)
     assert np.isfinite(r0["tp"]["loss"])
+
+    # GPipe across the REAL process boundary: the stage mesh interleaves
+    # devices so every microbatch-handoff ppermute crosses processes
+    # (gloo transport); identical finite global losses prove the hops
+    np.testing.assert_allclose(r0["pp"]["loss"], r1["pp"]["loss"], rtol=1e-6)
+    assert np.isfinite(r0["pp"]["loss"])

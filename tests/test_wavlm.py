@@ -200,3 +200,44 @@ def test_from_pretrained_safetensors_file_roundtrip(tmp_path):
 def test_from_pretrained_missing_weights_raises():
     with pytest.raises(FileNotFoundError, match="safetensors|resolve"):
         WavLMTeacher.from_pretrained("definitely/not-a-model-anywhere")
+
+
+def test_extract_batch_matches_per_utterance(torch_wavlm):
+    """The padded/bucketed batch path (masked layer-0 norm, zeroed frames
+    ahead of the positional conv, key-masked attention) must reproduce the
+    per-utterance forward on every valid frame — TPU offline teacher
+    featurization depends on this (VERDICT r3 weak #5 / preprocessing
+    batching)."""
+    cfg = WavLMConfig(**SMALL)
+    teacher = WavLMTeacher.from_torch_model(torch_wavlm, layer=2, cfg=cfg)
+
+    rng = np.random.default_rng(7)
+    lengths = [400, 873, 1290, 640]
+    waves = [rng.normal(size=(L,)).astype(np.float32) for L in lengths]
+
+    singles = [teacher.extract(w) for w in waves]
+    batched = teacher.extract_batch(waves, sample_bucket=256)
+
+    assert len(batched) == len(singles)
+    for got, want in zip(batched, singles):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_extract_batch_bucket_shapes_and_empty():
+    cfg = WavLMConfig(**SMALL)
+    import jax
+
+    from ssd_tpu.models.wavlm import FlaxWavLM
+
+    model = FlaxWavLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256)))["params"]
+    teacher = WavLMTeacher(cfg, params, layer=1)
+    assert teacher.extract_batch([]) == []
+    rng = np.random.default_rng(0)
+    out = teacher.extract_batch(
+        [rng.normal(size=(300,)).astype(np.float32)], sample_bucket=256
+    )
+    from ssd_tpu.models.wavlm import conv_output_lengths
+
+    assert out[0].shape == (int(conv_output_lengths(cfg, 300)), cfg.hidden_size)
