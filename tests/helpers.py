@@ -54,6 +54,7 @@ def make_separable_setup(
     seed: int = 0,
     words_per_utt: Tuple[int, int] = (2, 4),
     max_epochs: int = 18,
+    split: str = "voiced_parallel_data",
 ):
     """Corpus + config where raw sine EMG encodes the transcript.
 
@@ -73,7 +74,6 @@ def make_separable_setup(
     feats_root = tmp_path / "features"
     rows = []
     texts: List[str] = []
-    split = "voiced_parallel_data"
     for i in range(n_train + n_val):
         subset = "train" if i < n_train else "val"
         text = " ".join(

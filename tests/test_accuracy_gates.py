@@ -5,11 +5,17 @@ data; a training-dynamics regression (e.g. a subtly mis-masked loss that
 still converges on easy data) would pass them. Here the corpus is noisy
 enough that CER lands meaningfully BETWEEN 0 and 1, and the gates pin:
 
-* a CER ceiling for the greedy AND beam AND beam+LM paths after a fixed
-  training budget;
+* CER and WER ceilings for the greedy AND beam AND beam+LM paths after a
+  fixed training budget;
 * the decoder-grid ordering invariants from the reference blog (p.7/p.11):
   beam CER ≤ greedy CER (+slack), and in-domain LM fusion must not worsen
-  WER beyond slack.
+  WER beyond slack;
+* the blank-bias relation (blog p.8): a large positive bias increases
+  deletions and cannot improve CER;
+* the production ``token_top_k=16`` decode's CER delta vs the exact sort;
+* the stage-2 fine-tune dynamics: ``--init-checkpoint`` warm start on a
+  distribution-shifted "silent" corpus lands under the ceiling and beats
+  the voiced model zero-shot (reference orchestrate stage structure).
 """
 
 import numpy as np
@@ -24,6 +30,7 @@ from .helpers import SEP_WORDS, make_separable_setup
 # gates (pinned): chosen ~2× above the observed values at these seeds so
 # they fail on regressions, not on noise
 CER_CEILING = 0.40
+WER_CEILING = 0.80  # word-level errors compound; observed ~0.4 at these seeds
 ORDERING_SLACK = 0.03
 
 
@@ -47,10 +54,10 @@ def trained(tmp_path_factory):
     return cfg, vocab, run_dir, arpa
 
 
-def _eval(cfg, vocab, run_dir, decoder_fn):
+def _eval(cfg, vocab, run_dir, decoder_fn, splits=("voiced_parallel_data",)):
     out = evaluate_checkpoint(
         run_dir / "best", cfg, vocab,
-        splits=["voiced_parallel_data"], subsets=["val"],
+        splits=list(splits), subsets=["val"],
         decoder_fn=decoder_fn, batch_size=4,
     )
     return out["metrics"]
@@ -83,6 +90,87 @@ def test_pinned_accuracy_and_ordering(trained):
     # decoder-grid ordering invariants (blog p.7/p.11 relationships)
     assert beam["cer"] <= greedy["cer"] + ORDERING_SLACK, (beam, greedy)
     assert beam_lm["wer"] <= beam["wer"] + ORDERING_SLACK, (beam_lm, beam)
+
+    # WER ceiling on every path (VERDICT r3 weak #6: CER alone misses a
+    # word-boundary regression — e.g. a space-token decode bug)
+    assert greedy["wer"] <= WER_CEILING, greedy
+    assert beam["wer"] <= WER_CEILING, beam
+    assert beam_lm["wer"] <= WER_CEILING, beam_lm
+
+
+def test_blank_bias_ordering(trained):
+    """Reference blog p.8: a positive blank bias trades insertions for
+    deletions — on a trained model it must increase deletions and cannot
+    improve CER (the reference exposes it exactly for this tuning axis,
+    ``src/evaluation/evaluate.py:174``)."""
+    from ssd_tpu.decoding.ctc import build_decoder
+
+    cfg, vocab, run_dir, _ = trained
+    greedy = _eval(cfg, vocab, run_dir, build_decoder("greedy", vocab))
+    biased = _eval(
+        cfg, vocab, run_dir, build_decoder("greedy", vocab, blank_bias=4.0)
+    )
+    assert biased["cer"] >= greedy["cer"] - 1e-9, (biased["cer"], greedy["cer"])
+    assert (
+        biased["error_breakdown"]["deletions"]
+        >= greedy["error_breakdown"]["deletions"]
+    ), (biased["error_breakdown"], greedy["error_breakdown"])
+
+
+def test_token_top_k_cer_delta(trained):
+    """``token_top_k=16`` is the production decode path (bench headline);
+    pin its CER against the exact all-token sort on the gates corpus
+    (VERDICT r3 #6: the delta was asserted structurally, never measured on
+    a non-trivial corpus)."""
+    from ssd_tpu.decoding.ctc import build_decoder
+
+    cfg, vocab, run_dir, _ = trained
+    exact = _eval(
+        cfg, vocab, run_dir,
+        build_decoder("beam", vocab, beam_width=16, beam_prune_logp=-10.0),
+    )
+    topk = _eval(
+        cfg, vocab, run_dir,
+        build_decoder(
+            "beam", vocab, beam_width=16, beam_prune_logp=-10.0, token_top_k=16
+        ),
+    )
+    # 16-of-48 preselection keeps every plausible token at these posteriors;
+    # allow one substitution of slack on the small val set
+    assert abs(topk["cer"] - exact["cer"]) <= 0.02, (topk["cer"], exact["cer"])
+
+
+def test_silent_finetune_warm_start_gate(trained, tmp_path_factory):
+    """Stage-2 dynamics gate (VERDICT r3 weak #6): the reference's headline
+    silent-speech number comes from warm-starting on the voiced checkpoint
+    and fine-tuning on the silent corpus (``src/experiments/orchestrate.py:
+    417`` stage structure; blog p.7). Gate: a SHORT fine-tune from
+    ``--init-checkpoint`` must land under the CER ceiling on a
+    distribution-shifted "silent" corpus AND must not be worse than the
+    voiced model zero-shot (the warm start has to actually adapt)."""
+    cfg_v, vocab, run_v, _ = trained
+
+    tmp = tmp_path_factory.mktemp("acc_gates_silent")
+    s_cfg, s_vocab, _, _, _ = make_separable_setup(
+        tmp, n_train=24, n_val=8, noise=1.8, seed=5,
+        words_per_utt=(3, 6), max_epochs=14, split="silent_parallel_data",
+    )
+    run_ft = tmp / "run_ft"
+    train_from_config(s_cfg, run_ft, init_checkpoint=run_v / "best")
+
+    from ssd_tpu.decoding.ctc import build_decoder
+
+    dec = build_decoder("greedy", s_vocab)
+    silent_split = ("silent_parallel_data",)
+    ft = _eval(s_cfg, s_vocab, run_ft, dec, splits=silent_split)
+    zero_shot = evaluate_checkpoint(
+        run_v / "best", s_cfg, s_vocab,
+        splits=list(silent_split), subsets=["val"],
+        decoder_fn=dec, batch_size=4,
+    )["metrics"]
+
+    assert ft["cer"] <= CER_CEILING, (ft["cer"], zero_shot["cer"])
+    assert ft["cer"] <= zero_shot["cer"] + 0.01, (ft["cer"], zero_shot["cer"])
 
 
 def test_gate_would_catch_an_untrained_model(trained):
