@@ -4,11 +4,12 @@
         [--steps 6] [--logdir /tmp/ssd_trace]
 
 Captures a ``jax.profiler`` trace around K already-compiled train steps on
-the attached chip, then parses the xplane protobuf (tensorboard_plugin_
-profile ships the proto) and prints, per device plane: total device time,
-the top-10 ops by self time, and any bytes-accessed stats the backend
-recorded. If the remote (axon) runtime exposes no device plane, that fact
-is the documented outcome and the host plane summary is printed instead.
+the attached chip, then parses the chrome trace the profiler writes
+(``*.trace.json.gz`` — the axon runtime DOES export a full TPU device
+plane: per-HLO durations, ``bytes_accessed``, ``model_flops``,
+``hlo_category``, source attribution) and prints device ms/step, achieved
+TFLOP/s, the per-category time split, and the top ops. Findings for the
+flagship step: docs/PERF.md "Trace-backed roofline".
 """
 
 from __future__ import annotations
@@ -71,44 +72,67 @@ def build_step():
     return mesh, train_step, state, batch, lambdas, drop_rng
 
 
-def summarize_xplane(logdir: Path):
-    """Parse the newest .xplane.pb under logdir; per-plane op summary."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+def summarize_trace(logdir: Path, n_steps: int):
+    """Parse the newest chrome trace (*.trace.json.gz — the xplane proto is
+    not importable in this image); aggregate the TPU device plane."""
+    import gzip
+    import re
 
-    files = sorted(logdir.rglob("*.xplane.pb"))
+    files = sorted(logdir.rglob("*.trace.json.gz"))
     if not files:
-        return None, "no .xplane.pb produced"
-    xspace = xplane_pb2.XSpace()
-    xspace.ParseFromString(files[-1].read_bytes())
-    out = {}
-    for plane in xspace.planes:
-        stat_names = {i: m.name for i, m in plane.stat_metadata.items()}
-        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
-        per_op = defaultdict(lambda: {"time_us": 0.0, "count": 0, "bytes": 0})
-        total_us = 0.0
-        for line in plane.lines:
-            for ev in line.events:
-                name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
-                dur_us = ev.duration_ps / 1e6
-                rec = per_op[name]
-                rec["time_us"] += dur_us
-                rec["count"] += 1
-                total_us += dur_us
-                for st in ev.stats:
-                    sname = stat_names.get(st.metadata_id, "")
-                    if "bytes" in sname.lower():
-                        rec["bytes"] += st.int64_value or st.uint64_value
-        top = sorted(per_op.items(), key=lambda kv: -kv[1]["time_us"])[:15]
-        out[plane.name] = {
-            "lines": len(plane.lines),
-            "total_event_us": round(total_us, 1),
-            "top_ops": [
-                {"op": k, "time_us": round(v["time_us"], 1), "count": v["count"],
-                 **({"bytes": v["bytes"]} if v["bytes"] else {})}
-                for k, v in top
-            ],
-        }
-    return out, None
+        return None, "no *.trace.json.gz produced"
+    with gzip.open(files[-1]) as f:
+        evs = json.load(f)["traceEvents"]
+
+    # pid of the TPU device plane, tid of its "XLA Ops" line
+    tpu_pid = next((e["pid"] for e in evs
+                    if e.get("ph") == "M" and e.get("name") == "process_name"
+                    and "TPU" in e["args"].get("name", "")), None)
+    if tpu_pid is None:
+        return None, "no TPU device plane in trace (host-only capture)"
+    ops_tid = next((e["tid"] for e in evs
+                    if e.get("ph") == "M" and e.get("name") == "thread_name"
+                    and e["pid"] == tpu_pid and e["args"]["name"] == "XLA Ops"), None)
+
+    per_op = defaultdict(lambda: {"time_us": 0.0, "count": 0, "bytes": 0,
+                                  "flops": 0, "src": ""})
+    cat = defaultdict(lambda: [0.0, 0, 0])  # us, bytes, flops
+    total_us = total_bytes = total_flops = 0
+    for e in evs:
+        if e.get("pid") != tpu_pid or e.get("tid") != ops_tid or e.get("ph") != "X":
+            continue
+        a = e.get("args") or {}
+        b = int(a.get("bytes_accessed", 0))
+        fl = int(a.get("model_flops", 0) or 0)
+        key = re.sub(r"[._]\d+$", "", e["name"])
+        rec = per_op[key]
+        rec["time_us"] += e["dur"]
+        rec["count"] += 1
+        rec["bytes"] += b
+        rec["flops"] += fl
+        rec["src"] = a.get("tf_op", rec["src"])
+        c = a.get("hlo_category", "?")
+        cat[c][0] += e["dur"]; cat[c][1] += b; cat[c][2] += fl
+        total_us += e["dur"]; total_bytes += b; total_flops += fl
+
+    top = sorted(per_op.items(), key=lambda kv: -kv[1]["time_us"])[:15]
+    return {
+        "ms_per_step": round(total_us / n_steps / 1e3, 3),
+        "model_tflops_per_step": round(total_flops / n_steps / 1e12, 3),
+        "achieved_tflops": round(total_flops / (total_us * 1e-6) / 1e12, 1),
+        "cost_model_bytes_gb_per_step": round(total_bytes / n_steps / 1e9, 2),
+        "categories_ms_per_step": {
+            k: round(v[0] / n_steps / 1e3, 3)
+            for k, v in sorted(cat.items(), key=lambda kv: -kv[1][0])
+        },
+        "top_ops": [
+            {"op": k, "ms_per_step": round(v["time_us"] / n_steps / 1e3, 4),
+             "count_per_step": v["count"] // n_steps,
+             "gf_per_step": round(v["flops"] / n_steps / 1e9, 2),
+             "src": v["src"][:80]}
+            for k, v in top
+        ],
+    }, None
 
 
 def main() -> None:
@@ -132,17 +156,11 @@ def main() -> None:
                 state, losses = train_step(state, batch, lambdas, drop_rng)
             float(losses["total"])  # fence inside the trace window
 
-    summary, err = summarize_xplane(args.logdir)
+    summary, err = summarize_trace(args.logdir, args.steps)
     if err:
         print(json.dumps({"error": err}))
         return
-    print(json.dumps({"planes": list(summary)}, indent=0))
-    for plane, data in summary.items():
-        print(f"\n=== {plane} (lines={data['lines']}, "
-              f"total {data['total_event_us'] / 1e3:.1f} ms) ===")
-        for op in data["top_ops"]:
-            extra = f"  bytes={op['bytes']:,}" if "bytes" in op else ""
-            print(f"  {op['time_us'] / 1e3:9.3f} ms  ×{op['count']:<4d} {op['op'][:90]}{extra}")
+    print(json.dumps(summary, indent=2))
 
 
 if __name__ == "__main__":
