@@ -98,6 +98,7 @@ def main() -> None:
                 batch_to_arrays(batch, include_teacher=True)
             n_utts = 0
             t0 = time.perf_counter()
+            c0 = time.process_time()  # parent-process CPU only
             for _ in range(3):
                 loader.epoch += 1
                 for batch in prefetch(loader):
@@ -106,16 +107,22 @@ def main() -> None:
                     arrays["weight"][batch.size:] = 0.0
                     n_utts += batch.size
             dt = time.perf_counter() - t0
+            parent_cpu = time.process_time() - c0
             if hasattr(loader, "close"):
                 loader.close()
             mb = n_utts * 768 * 640 * 4 / 1e6
             sweep[workers] = round(n_utts / dt, 1)
+            # parent CPU-seconds per utterance is the serial (Amdahl) share
+            # of the worker offload path: on a multi-core host the pipeline
+            # scales until workers saturate 1/parent_cpu_share cores
             print(json.dumps({
                 "num_workers": workers,
                 "utterances": n_utts,
                 "seconds": round(dt, 2),
                 "host_input_utt_per_sec": round(n_utts / dt, 1),
                 "approx_feature_MB_per_sec": round(mb / dt, 1),
+                "parent_cpu_sec_per_utt": round(parent_cpu / n_utts, 6),
+                "parent_ceiling_utt_per_sec": round(n_utts / parent_cpu, 1),
             }), flush=True)
         if len(sweep) > 1:
             print(json.dumps({"worker_sweep_utt_per_sec": sweep}))

@@ -354,6 +354,7 @@ class DataLoader:
         # derived per batch, not drawn from one sequential stream.
         self.num_workers = int(num_workers)
         self._pool = None
+        self._slots = None  # shm transport, created with the pool
         self.epoch = 0
 
         indices = list(range(len(dataset)))
@@ -465,15 +466,24 @@ class DataLoader:
     def __getstate__(self):
         d = self.__dict__.copy()
         d["_pool"] = None  # pools don't pickle; workers never nest pools
+        d["_slots"] = None  # parent-side mmaps; workers get paths via initargs
         return d
 
     def _ensure_pool(self):
         if self._pool is None:
             import multiprocessing as mp
 
+            from .shm_slots import SlotPool
+
+            # slots = in-flight bound (num_workers+2, _iter_workers) + head-
+            # room for already-yielded batches still alive in the consumer
+            # (prefetch queue + the step's current batch)
+            self._slots = SlotPool(self.num_workers + 6)
             ctx = mp.get_context("spawn")
             self._pool = ctx.Pool(
-                self.num_workers, initializer=_worker_init, initargs=(self,)
+                self.num_workers,
+                initializer=_worker_init,
+                initargs=(self, self._slots.paths),
             )
         return self._pool
 
@@ -483,6 +493,9 @@ class DataLoader:
             self._pool.terminate()
             self._pool.join()
             self._pool = None
+        if self._slots is not None:
+            self._slots.close()
+            self._slots = None
 
     def __del__(self):  # pragma: no cover - GC timing
         try:
@@ -524,15 +537,46 @@ class DataLoader:
         from collections import deque
 
         pool = self._ensure_pool()
-        pending: "deque" = deque()
+        pending: "deque" = deque()  # of (slot, AsyncResult)
         tasks = iter([(epoch, bi, gb) for bi, gb in enumerate(batches)])
-        for task in tasks:
-            pending.append(pool.apply_async(_worker_build, (task,)))
-            if len(pending) < self.num_workers + 2:
-                continue
-            yield self._await(pending.popleft())
-        while pending:
-            yield self._await(pending.popleft())
+        try:
+            for task in tasks:
+                # blocking: a slot frees when a previously-yielded batch's
+                # last array view is GC'd — submission backpressure mirrors
+                # the consumer's actual drain rate, not just the pipe's
+                slot = self._slots.acquire()
+                pending.append((slot, pool.apply_async(_worker_build, (task, slot))))
+                if len(pending) < self.num_workers + 2:
+                    continue
+                yield self._open_result(self._await(pending.popleft()[1]))
+            while pending:
+                yield self._open_result(self._await(pending.popleft()[1]))
+        finally:
+            # abandoned mid-epoch: wait out the already-submitted builds and
+            # recycle their slots, else the free queue starves next epoch
+            while pending:
+                slot, result = pending.popleft()
+                try:
+                    self._await(result)
+                except RuntimeError:  # close() during teardown
+                    pass
+                self._slots.release(slot)
+
+    def _open_result(self, result) -> Batch:
+        """Rebuild a Batch from a worker's (descriptor, metadata) pair as
+        zero-copy views over the shm slot (see shm_slots.SlotPool)."""
+        desc, meta = result
+        arrays = self._slots.open_batch(desc)
+        return Batch(
+            utterance_ids=meta["utterance_ids"],
+            transcripts=meta["transcripts"],
+            emg=arrays["emg"],
+            emg_lengths=arrays["emg_lengths"],
+            tokens=arrays["tokens"],
+            token_lengths=arrays["token_lengths"],
+            teacher=arrays.get("teacher"),
+            teacher_lengths=arrays.get("teacher_lengths"),
+        )
 
     def __iter__(self) -> Iterator[Batch]:
         epoch = self.epoch
@@ -548,18 +592,39 @@ class DataLoader:
 
 # worker-process state: one DataLoader clone per worker (spawn context — the
 # pickled clone carries the dataset/table state but no pool); tasks are
-# (epoch, batch_idx, global_batch) and return fully collated batches
+# ((epoch, batch_idx, global_batch), slot) and return (shm descriptor,
+# small-field metadata) — the arrays travel through the mmap slot, not the
+# result pipe (shm_slots module docstring has the measured rationale)
 _WORKER_LOADER: Optional["DataLoader"] = None
+_WORKER_SLOTS = None
 
 
-def _worker_init(loader: "DataLoader") -> None:
-    global _WORKER_LOADER
+def _worker_init(loader: "DataLoader", slot_paths) -> None:
+    global _WORKER_LOADER, _WORKER_SLOTS
+    from .shm_slots import SlotWriter
+
     _WORKER_LOADER = loader
+    _WORKER_SLOTS = SlotWriter(slot_paths)
 
 
-def _worker_build(task) -> Batch:
+def _worker_build(task, slot: int):
     epoch, batch_idx, global_batch = task
-    return _WORKER_LOADER._build_batch(epoch, batch_idx, global_batch)
+    batch = _WORKER_LOADER._build_batch(epoch, batch_idx, global_batch)
+    arrays = {
+        "emg": batch.emg,
+        "emg_lengths": batch.emg_lengths,
+        "tokens": batch.tokens,
+        "token_lengths": batch.token_lengths,
+    }
+    if batch.teacher is not None:
+        arrays["teacher"] = batch.teacher
+        arrays["teacher_lengths"] = batch.teacher_lengths
+    desc = _WORKER_SLOTS.write(slot, arrays)
+    meta = {
+        "utterance_ids": batch.utterance_ids,
+        "transcripts": batch.transcripts,
+    }
+    return desc, meta
 
 
 def prefetch(loader: DataLoader, size: int = 2) -> Iterator[Batch]:

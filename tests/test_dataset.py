@@ -384,6 +384,45 @@ def test_num_workers_sharded_empty_batch(cache):
         np.testing.assert_array_equal(atl, btl)
 
 
+def test_shm_slot_recycling():
+    """The worker→parent shm transport's slot lifetime contract: a slot is
+    pinned while ANY numpy view (including sub-views) of its batch is alive,
+    recycles at GC of the last view, grows on demand, and is reusable."""
+    import gc
+
+    from ssd_tpu.data.shm_slots import SlotPool, SlotWriter
+
+    pool = SlotPool(2, initial_size=1024)
+    writer = SlotWriter(pool.paths)
+    try:
+        s0, s1 = pool.acquire(), pool.acquire()
+        a_ref = np.arange(12, dtype=np.float32).reshape(3, 4)
+        desc0 = writer.write(s0, {"a": a_ref, "b": np.array([7], np.int32)})
+        arrays0 = pool.open_batch(desc0)
+        np.testing.assert_array_equal(arrays0["a"], a_ref)
+        assert arrays0["b"][0] == 7
+        # growth: a payload larger than the initial slot size
+        big = np.random.default_rng(0).normal(size=600)  # 4800 B > 1024
+        arrays1 = pool.open_batch(writer.write(s1, {"big": big}))
+        np.testing.assert_array_equal(arrays1["big"], big)
+        assert pool._free.qsize() == 0  # both slots pinned by live views
+        sub = arrays0["a"][1:]  # sub-view outlives the batch dict
+        del arrays0
+        gc.collect()
+        assert pool._free.qsize() == 0
+        del sub
+        gc.collect()
+        assert pool._free.qsize() == 1
+        del arrays1
+        gc.collect()
+        assert pool._free.qsize() == 2
+        # recycled slot serves a fresh batch
+        arrays2 = pool.open_batch(writer.write(pool.acquire(), {"c": np.full(5, 3, np.int8)}))
+        np.testing.assert_array_equal(arrays2["c"], np.full(5, 3, np.int8))
+    finally:
+        pool.close()
+
+
 def test_emg_bf16_rejected_in_raw_mode(tmp_path):
     import ml_dtypes
     import pytest
