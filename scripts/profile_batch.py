@@ -1,6 +1,12 @@
 """Train-step batch sweep: does a bigger batch buy MFU? (round-4 trace work)
 
-    PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_batch.py [B ...]
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_batch.py \
+        [--attn-remat] [B ...]
+
+``--attn-remat`` additionally A/Bs the round-4 attention-only remat knob
+(EncoderConfig.attn_remat): the trace shows 2.6 ms/step of zero-FLOP
+copies staging the per-block (B, H, T, T) score tensors for backward;
+attn_remat recomputes them from the 8.5 MB block input instead.
 
 The round-4 device trace (docs/PERF.md "Trace") shows the MXU fusions
 running at ~58% internal efficiency at B=32 — weight/activation streaming
@@ -27,7 +33,7 @@ T, F, V, S, TD = 768, 640, 48, 128, 768
 PEAK_BF16_TFLOPS = 197.0  # v5e
 
 
-def run_one(B: int) -> dict:
+def run_one(B: int, attn_remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +47,7 @@ def run_one(B: int) -> dict:
     enc_cfg = EncoderConfig(
         input_dim=F, d_model=288, num_layers=6, num_heads=6, ffn_dim=1152,
         depthwise_conv_kernel_size=15, dropout=0.12, subsample_factor=2,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", attn_remat=attn_remat,
     )
     model = SSDModel(encoder_cfg=enc_cfg, projection_dim=TD, vocab_size=V,
                      ctc_dropout=0.12)
@@ -98,6 +104,7 @@ def run_one(B: int) -> dict:
     flops = bench_mod._train_step_flops() * (B / bench_mod.BATCH)
     return {
         "batch": B,
+        "attn_remat": attn_remat,
         "ms_per_step": round(sec * 1e3, 2),
         "utt_per_sec": round(B / sec, 1),
         "mfu": round(flops / sec / 1e12 / PEAK_BF16_TFLOPS, 3),
@@ -106,10 +113,12 @@ def run_one(B: int) -> dict:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [32, 64, 128]
+    argv = sys.argv[1:]
+    attn_remat = "--attn-remat" in argv
+    sizes = [int(a) for a in argv if not a.startswith("--")] or [32, 64, 128]
     out = []
     for B in sizes:
-        r = run_one(B)
+        r = run_one(B, attn_remat=attn_remat)
         out.append(r)
         print(json.dumps(r), flush=True)
     print(json.dumps({"sweep": out}))

@@ -81,6 +81,14 @@ class EncoderConfig:
     # flax: XLA dot_product_attention. fused: whole-head-in-VMEM Pallas
     # kernel (ops/attention.py) — same params/checkpoints, fp32 softmax.
     attention_impl: str = "flax"  # flax | fused
+    # Rematerialize ONLY the attention submodule: the (B, H, T, T) score/
+    # probability tensors are the largest residuals in the step by far
+    # (57 MB/block at flagship shapes — the round-4 device trace attributes
+    # 2.6 ms/step of zero-FLOP copies/waits to staging them for backward).
+    # With attn_remat the backward recomputes attention from the 8.5 MB
+    # block input instead. Math-identical (equivalence-tested); ignored
+    # when remat: true (block-level remat already subsumes it).
+    attn_remat: bool = False
     # lax: nn.Conv grouped conv. pallas: VMEM stencil (ops/depthwise_conv.py)
     # — same params/checkpoints.
     depthwise_impl: str = "lax"  # lax | pallas
@@ -369,7 +377,13 @@ class ConformerBlock(nn.Module):
         x = x + 0.5 * _FeedForward(
             c.d_model, c.ffn_dim, c.dropout, c.dtype, c.quantize, sp, name="ffn1"
         )(x, train)
-        x = x + _SelfAttention(
+        attn_cls = _SelfAttention
+        if c.attn_remat and not c.remat:
+            # Save only the attention submodule's inputs; the (B, H, T, T)
+            # probs are recomputed in backward instead of being staged as
+            # residuals (the biggest zero-FLOP cost in the round-4 trace).
+            attn_cls = nn.remat(_SelfAttention, static_argnums=(3,))
+        x = x + attn_cls(
             c.d_model, c.num_heads, c.dropout, c.dtype, c.attention_impl, sp,
             name="attn",
         )(x, pad_mask, train)

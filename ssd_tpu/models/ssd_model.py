@@ -61,6 +61,7 @@ def build_model(cfg: Dict[str, Any], input_dim: int, vocab_size: int) -> SSDMode
         compute_dtype=enc.get("compute_dtype", "float32"),
         remat=enc.get("remat", False),
         remat_policy=enc.get("remat_policy", "full"),
+        attn_remat=enc.get("attn_remat", False),
         attention_impl=enc.get("attention_impl", "flax"),
         depthwise_impl=enc.get("depthwise_impl", "lax"),
         quantize=enc.get("quantize", "none"),

@@ -281,3 +281,35 @@ def test_scan_remat_composes():
     assert all(
         bool(jnp.all(jnp.isfinite(x))) for x in jax.tree_util.tree_leaves(g)
     )
+
+
+def test_attn_remat_matches_no_remat():
+    """attn_remat recomputes ONLY the attention submodule in backward (so the
+    (B, H, T, T) probs are never staged as residuals); loss and gradients
+    must match the baseline exactly up to fp reassociation."""
+    emg, lengths = _data()
+    base_model = EMGConformerEncoder(EncoderConfig(**CFG))
+    variables = base_model.init(jax.random.PRNGKey(0), emg, lengths, train=False)
+
+    def val_and_grad(model):
+        def loss(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                emg, lengths, train=False,
+            )
+            return jnp.sum(out ** 2)
+
+        return jax.jit(jax.value_and_grad(loss))(variables["params"])
+
+    v0, g0 = val_and_grad(base_model)
+    model = EMGConformerEncoder(EncoderConfig(**CFG, attn_remat=True))
+    v, g = val_and_grad(model)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v0), rtol=1e-6)
+    scale = max(
+        float(np.max(np.abs(np.asarray(x))))
+        for x in jax.tree_util.tree_leaves(g0)
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
+        )
