@@ -313,3 +313,25 @@ def test_attn_remat_matches_no_remat():
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
         )
+
+
+def test_attn_remat_scan_composes():
+    """attn_remat composes with the nn.scan'd block stack: traces, runs,
+    and yields finite grads (math equivalence is pinned unrolled-side by
+    test_attn_remat_matches_no_remat + test_scan_matches_unrolled_eval)."""
+    cfg = EncoderConfig(**CFG, scan_layers=True, attn_remat=True)
+    model = EMGConformerEncoder(cfg)
+    emg, lengths = _data()
+    variables = model.init(jax.random.PRNGKey(0), emg, lengths, train=False)
+
+    def loss(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            emg, lengths, train=False,
+        )
+        return jnp.sum(out ** 2)
+
+    g = jax.jit(jax.grad(loss))(variables["params"])
+    assert all(
+        bool(jnp.all(jnp.isfinite(x))) for x in jax.tree_util.tree_leaves(g)
+    )
