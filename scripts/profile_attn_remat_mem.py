@@ -63,10 +63,13 @@ def mem_one(attn_remat: bool) -> dict:
 
     with mesh:
         batch = shard_batch(mesh, batch_np)
+        # batch is a jit ARGUMENT (the real step's calling convention) so
+        # memory_analysis() splits it into argument bytes, not baked-in
+        # constants — absolute temp/argument numbers are quotable standalone
         step = functools.partial(jax.jit, donate_argnums=(0,))(
-            lambda st: train_step(st, batch, lambdas, drop_rng)
+            lambda st, b: train_step(st, b, lambdas, drop_rng)
         )
-        compiled = step.lower(state).compile()
+        compiled = step.lower(state, batch).compile()
         ma = compiled.memory_analysis()
         out = {"attn_remat": attn_remat}
         for k in ("temp_size_in_bytes", "argument_size_in_bytes",

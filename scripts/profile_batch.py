@@ -115,6 +115,9 @@ def run_one(B: int, attn_remat: bool = False) -> dict:
 def main() -> None:
     argv = sys.argv[1:]
     attn_remat = "--attn-remat" in argv
+    unknown = [a for a in argv if a.startswith("--") and a != "--attn-remat"]
+    if unknown:  # a typo'd flag must not silently run the baseline sweep
+        raise SystemExit(f"unknown flag(s) {unknown}; supported: --attn-remat")
     sizes = [int(a) for a in argv if not a.startswith("--")] or [32, 64, 128]
     out = []
     for B in sizes:

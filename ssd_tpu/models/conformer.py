@@ -408,6 +408,15 @@ def _block_cls(cfg: EncoderConfig):
     """ConformerBlock, wrapped in nn.remat per (remat, remat_policy)."""
     if not cfg.remat:
         return ConformerBlock
+    if cfg.attn_remat:
+        # block-level remat already recomputes attention; the finer knob is
+        # inert here — say so once instead of silently ignoring the config
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "attn_remat=True is subsumed by remat=True (the whole block is "
+            "rematerialized); the attention-only knob has no effect."
+        )
     if cfg.remat_policy not in _REMAT_POLICIES:
         raise ValueError(
             f"remat_policy={cfg.remat_policy!r} — expected one of "

@@ -315,6 +315,43 @@ def test_attn_remat_matches_no_remat():
         )
 
 
+def test_attn_remat_matches_no_remat_with_dropout():
+    """Production uses attn_remat with dropout ON (tpu_fast_plus trains at
+    0.12): correctness relies on nn.remat replaying the SAME dropout rngs in
+    the backward recompute (FastDropout's residual is the key, so the mask is
+    regenerated, not saved). Pin train=True equivalence: same params + same
+    'dropout' rng → identical loss and gradients vs the non-remat baseline
+    (ADVICE r4: the equivalence was only pinned at train=False)."""
+    emg, lengths = _data()
+    base_model = EMGConformerEncoder(EncoderConfig(**CFG))
+    variables = base_model.init(jax.random.PRNGKey(0), emg, lengths, train=False)
+    drop_rng = jax.random.PRNGKey(7)
+
+    def val_and_grad(model):
+        def loss(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                emg, lengths, train=True,
+                rngs={"dropout": drop_rng}, mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(out ** 2)
+
+        return jax.jit(jax.value_and_grad(loss))(variables["params"])
+
+    v0, g0 = val_and_grad(base_model)
+    v, g = val_and_grad(EMGConformerEncoder(EncoderConfig(**CFG, attn_remat=True)))
+    assert bool(jnp.isfinite(v0))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v0), rtol=1e-6)
+    scale = max(
+        float(np.max(np.abs(np.asarray(x))))
+        for x in jax.tree_util.tree_leaves(g0)
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
+        )
+
+
 def test_attn_remat_scan_composes():
     """attn_remat composes with the nn.scan'd block stack: traces, runs,
     and yields finite grads (math equivalence is pinned unrolled-side by
