@@ -81,9 +81,22 @@ class MicroBatcher:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.q: "queue.Queue[_Request]" = queue.Queue()
+        # occupancy accounting (mutated only by the collector thread; read
+        # by /stats): how full the device batches actually run under load
+        self.batches_run = 0
+        self.items_run = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._stop = False
         self._thread.start()
+
+    def occupancy(self) -> dict:
+        n, items = self.batches_run, self.items_run
+        return {
+            "batches": n,
+            "items": items,
+            "mean_batch": round(items / n, 3) if n else None,
+            "max_batch": self.max_batch,
+        }
 
     def submit(self, emg: np.ndarray, timeout: float = 60.0) -> str:
         req = _Request(emg)
@@ -113,6 +126,8 @@ class MicroBatcher:
                     batch.append(self.q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            self.batches_run += 1
+            self.items_run += len(batch)
             try:
                 hyps = self.engine.transcribe([r.emg for r in batch])
                 for r, h in zip(batch, hyps):
@@ -152,7 +167,15 @@ class StreamSessions:
 
     def _evict_idle(self) -> None:
         now = time.monotonic()
-        for sid in [s for s, v in self._sessions.items() if now - v[2] > self.idle_ttl]:
+        for sid in [
+            s
+            for s, v in self._sessions.items()
+            # a held per-session lock means a feed/finish is IN FLIGHT right
+            # now — never evict mid-operation, however stale the timestamp
+            # (the timestamp is only refreshed at _get time, so an operation
+            # longer than idle_ttl would otherwise race its own eviction)
+            if now - v[2] > self.idle_ttl and not v[1].locked()
+        ]:
             del self._sessions[sid]
 
     def _get(self, sid: str):
@@ -167,10 +190,13 @@ class StreamSessions:
             return entry
 
     def feed(self, sid: str, emg: np.ndarray) -> str:
-        st, lock, _ = self._get(sid)
+        entry = self._get(sid)
+        st, lock, _ = entry
         with lock:
             st.feed(emg)
-            return st.hypothesis
+            hyp = st.hypothesis
+        entry[2] = time.monotonic()  # idle clock starts when the op ENDS
+        return hyp
 
     def finish(self, sid: str, beam: bool = False) -> str:
         st, lock, _ = self._get(sid)
@@ -199,7 +225,13 @@ def make_handler(batcher: MicroBatcher, engine: InferenceEngine):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
             elif self.path == "/stats":
-                self._reply(200, {"latency": engine.stats.summary()})
+                self._reply(
+                    200,
+                    {
+                        "latency": engine.stats.summary(),
+                        "micro_batch": batcher.occupancy(),
+                    },
+                )
             else:
                 self._reply(404, {"error": "not found"})
 

