@@ -89,36 +89,39 @@ def process_emg_rows(
     batch_size: int = 8,
     fused: bool = True,
     limit: Optional[int] = None,
+    fetch_dtype: str = "float32",
+    double_buffer: bool = True,
 ) -> int:
-    """Featurize EMG for manifest rows; returns number written."""
+    """Featurize EMG for manifest rows; returns number written.
+
+    ``fetch_dtype="bfloat16"`` halves the device→host bytes of the feature
+    fetch (the bottleneck on a bandwidth-bound link) — log-mel dB values are
+    O(±80) with ~3 useful decimal digits, well inside bf16's 8-bit mantissa;
+    the ON-DISK contract stays float32 (reference cache contract,
+    ``src/data/preprocessing.py:108-122``), so readers are unaffected.
+    ``double_buffer`` dispatches batch k+1's device compute BEFORE fetching
+    batch k's features (dispatch is async), overlapping readback with
+    compute; output is bit-identical to the sequential order.
+    """
     import jax.numpy as jnp
 
+    if fetch_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"fetch_dtype={fetch_dtype!r}")
+
     pending: List[tuple] = []  # (row, emg array)
+    inflight: Optional[tuple] = None  # (rows, feats_dev, frame_lengths, means, stds)
     written = 0
 
-    def flush() -> int:
-        nonlocal pending
-        if not pending:
-            return 0
-        lengths = np.asarray([e.shape[0] for _, e in pending], np.int32)
-        L_pad = _round_up(int(lengths.max()), SAMPLE_BUCKET)
-        C = pending[0][1].shape[1]
-        batch = np.zeros((len(pending), L_pad, C), np.float32)
-        for i, (_, e) in enumerate(pending):
-            batch[i, : e.shape[0]] = e
-        feats, frame_lengths, means, stds = logmel_batch(
-            jnp.asarray(batch), jnp.asarray(lengths), cfg, fused=fused
-        )
-        frame_lengths = np.asarray(frame_lengths)
+    def write_out(batch_rows, feats_dev, frame_lengths, means, stds) -> int:
         # ONE device→host transfer of the batch-max slice: rows are length-
         # sorted, so batch-max ≈ each row's length and the padded tail
         # (bucket rounding) never crosses the link. Measured on the remote
         # rig: whole-padded fetch 3.0 utt/s → per-utt slices 3.9 → sorted
         # batch-max fetch 8+ (docs/PERF.md "Offline featurization").
-        feats = np.asarray(feats[:, : int(frame_lengths.max())])
+        feats = np.asarray(feats_dev).astype(np.float32)
         count = 0
-        for i, (row, _) in enumerate(pending):
-            out = feats[i, : int(frame_lengths[i])].astype(np.float32)
+        for i, row in enumerate(batch_rows):
+            out = feats[i, : int(frame_lengths[i])]
             feature_path, meta_path = _out_paths(out_dir, row.utterance_id)
             np.save(feature_path, out)
             meta = {
@@ -138,7 +141,36 @@ def process_emg_rows(
                 meta["std"] = float(stds[i])
             meta_path.write_text(json.dumps(meta, indent=2))
             count += 1
+        return count
+
+    def flush() -> int:
+        nonlocal pending, inflight
+        if not pending:
+            return 0
+        lengths = np.asarray([e.shape[0] for _, e in pending], np.int32)
+        L_pad = _round_up(int(lengths.max()), SAMPLE_BUCKET)
+        C = pending[0][1].shape[1]
+        batch = np.zeros((len(pending), L_pad, C), np.float32)
+        for i, (_, e) in enumerate(pending):
+            batch[i, : e.shape[0]] = e
+        feats, frame_lengths, means, stds = logmel_batch(
+            jnp.asarray(batch), jnp.asarray(lengths), cfg, fused=fused
+        )
+        frame_lengths = np.asarray(frame_lengths)  # small; needed to slice
+        feats = feats[:, : int(frame_lengths.max())]
+        if fetch_dtype == "bfloat16":
+            feats = feats.astype(jnp.bfloat16)  # cast on DEVICE: halves bytes
+        record = ([row for row, _ in pending], feats, frame_lengths, means, stds)
         pending = []
+        count = 0
+        if double_buffer:
+            # fetch the PREVIOUS batch now — its readback rides the tunnel
+            # while the compute just dispatched above runs on the device
+            if inflight is not None:
+                count = write_out(*inflight)
+            inflight = record
+        else:
+            count = write_out(*record)
         return count
 
     for row, src in _work_list(rows, root, out_dir, "emg_path", overwrite, limit):
@@ -153,6 +185,8 @@ def process_emg_rows(
         if len(pending) >= batch_size:
             written += flush()
     written += flush()
+    if inflight is not None:  # drain the double-buffer tail
+        written += write_out(*inflight)
     logger.info("EMG processed: %d", written)
     return written
 
@@ -247,6 +281,17 @@ def _parse_args() -> argparse.Namespace:
     p.add_argument("--emg-hop-length", type=int, default=160)
     p.add_argument("--emg-n-mels", type=int, default=80)
     p.add_argument("--emg-normalize", choices=["per_file", "none"], default="per_file")
+    p.add_argument(
+        "--fetch-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="Device→host transfer dtype for EMG features (bfloat16 halves "
+        "the fetch bytes on a bandwidth-bound link; on-disk .npy stays "
+        "float32 either way).",
+    )
+    p.add_argument(
+        "--no-double-buffer", action="store_true",
+        help="Disable overlapping batch k's feature readback with batch "
+        "k+1's device compute (A/B lever; output is identical).",
+    )
 
     p.add_argument("--teacher-model", default="microsoft/wavlm-base-plus")
     p.add_argument("--teacher-layer", type=int, default=9)
@@ -281,6 +326,8 @@ def main() -> None:
             batch_size=args.batch_size,
             fused=not args.no_fused,
             limit=args.limit,
+            fetch_dtype=args.fetch_dtype,
+            double_buffer=not args.no_double_buffer,
         )
     else:
         process_teacher_rows(
