@@ -90,7 +90,8 @@ def random_wavlm_dir(cache: Path) -> Path:
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=["emg", "teacher", "both"], default="both")
+    p.add_argument("--mode", choices=["emg", "teacher", "both", "emg-ab"],
+                   default="both")
     p.add_argument("--emg-utts", type=int, default=128)
     p.add_argument("--teacher-utts", type=int, default=48)
     p.add_argument("--batch-size", type=int, default=16)
@@ -105,18 +106,18 @@ def main() -> None:
     backend = jax.devices()[0].platform
     results = {"backend": backend, "batch_size": args.batch_size}
 
-    if args.mode in ("emg", "both"):
+    if args.mode in ("emg", "both", "emg-ab"):
         tmp = args.workdir / "emg_corpus"
         rows, total_sec = make_rows(tmp, args.emg_utts, seed=0, with_audio=False)
         cfg = FeaturizerConfig(sample_rate=1000, n_fft=320, hop_length=10, n_mels=80)
         out = args.workdir / "features_emg"
         t0 = time.time()
         n = process_emg_rows(rows, tmp, out, cfg, overwrite=True,
-                             batch_size=args.batch_size)
+                             batch_size=args.batch_size, double_buffer=False)
         cold = time.time() - t0
         t0 = time.time()
         n = process_emg_rows(rows, tmp, out, cfg, overwrite=True,
-                             batch_size=args.batch_size)
+                             batch_size=args.batch_size, double_buffer=False)
         warm = time.time() - t0
         results["emg"] = {
             "utts": n, "audio_sec": round(total_sec, 1),
@@ -125,6 +126,29 @@ def main() -> None:
             "audio_sec_per_sec": round(total_sec / warm, 1),
         }
         print(json.dumps({"emg": results["emg"]}), flush=True)
+
+    if args.mode == "emg-ab":
+        # Transfer-bound falsification (VERDICT r4 next #6): if the warm loop
+        # is device→host bound, halving fetch bytes (bf16) and overlapping
+        # readback with compute (double buffer) should stack to ~2×. All
+        # arms run warm in one process (the baseline above was the warmup).
+        for fetch_dtype, dbuf, label in (
+            ("float32", True, "fp32+dbuf"),
+            ("bfloat16", False, "bf16"),
+            ("bfloat16", True, "bf16+dbuf"),
+        ):
+            t0 = time.time()
+            n = process_emg_rows(
+                rows, tmp, args.workdir / "features_emg", cfg, overwrite=True,
+                batch_size=args.batch_size, fetch_dtype=fetch_dtype,
+                double_buffer=dbuf,
+            )
+            warm = time.time() - t0
+            results[label] = {
+                "warm_wall_s": round(warm, 1),
+                "utt_per_sec": round(n / warm, 1),
+            }
+            print(json.dumps({label: results[label]}), flush=True)
 
     if args.mode in ("teacher", "both"):
         tmp = args.workdir / "teacher_corpus"

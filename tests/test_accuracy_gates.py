@@ -33,6 +33,26 @@ CER_CEILING = 0.40
 WER_CEILING = 0.80  # word-level errors compound; observed ~0.4 at these seeds
 ORDERING_SLACK = 0.03
 
+# GOLDENS (VERDICT r4 weak #6: ceilings alone let a quality halving pass).
+# Measured on this suite's CPU platform via scripts/measure_gate_goldens.py
+# (two independent runs, bit-identical — the fixture is deterministic at
+# these seeds); pinned at ±GOLDEN_TOL so drift WITHIN the ceiling fails too.
+GOLDENS = {
+    "greedy": {"cer": 0.2833, "wer": 0.6875},
+    "beam": {"cer": 0.2750, "wer": 0.7188},
+    "beam_lm": {"cer": 0.2167, "wer": 0.4688},
+    "silent_finetune_cer": 0.3879,
+}
+GOLDEN_TOL = 0.05
+
+
+def _pin(measured: dict, name: str) -> None:
+    golden = GOLDENS[name]
+    assert abs(measured["cer"] - golden["cer"]) <= GOLDEN_TOL, (
+        name, measured["cer"], golden["cer"])
+    assert abs(measured["wer"] - golden["wer"]) <= GOLDEN_TOL, (
+        name, measured["wer"], golden["wer"])
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
@@ -96,6 +116,12 @@ def test_pinned_accuracy_and_ordering(trained):
     assert greedy["wer"] <= WER_CEILING, greedy
     assert beam["wer"] <= WER_CEILING, beam
     assert beam_lm["wer"] <= WER_CEILING, beam_lm
+
+    # goldens: the measured values themselves are pinned (both directions —
+    # an unexplained IMPROVEMENT is a fixture/decoder change to investigate)
+    _pin(greedy, "greedy")
+    _pin(beam, "beam")
+    _pin(beam_lm, "beam_lm")
 
 
 def test_blank_bias_ordering(trained):
@@ -171,6 +197,9 @@ def test_silent_finetune_warm_start_gate(trained, tmp_path_factory):
 
     assert ft["cer"] <= CER_CEILING, (ft["cer"], zero_shot["cer"])
     assert ft["cer"] <= zero_shot["cer"] + 0.01, (ft["cer"], zero_shot["cer"])
+    # golden pin (measured 0.3879 — NB this sits close to the 0.40 ceiling;
+    # the golden, not the ceiling, is the real regression surface here)
+    assert abs(ft["cer"] - GOLDENS["silent_finetune_cer"]) <= GOLDEN_TOL, ft
 
 
 def test_gate_would_catch_an_untrained_model(trained):
