@@ -84,7 +84,8 @@ def build_corpus(wd: Path, n_utts: int, val_frac: float = 0.2) -> None:
     default_vocab().to_json(wd / "vocab.json")
 
 
-def write_config(wd: Path, epochs: int, batch_size: int) -> Path:
+def write_config(wd: Path, epochs: int, batch_size: int,
+                 tiny: bool = False) -> Path:
     cfg = yaml.safe_load((REPO / "configs/tpu_scaled_large.yaml").read_text())
     cfg.pop("parallel", None)  # single-chip drive (the attached TPU)
     cfg["data"].update({
@@ -101,6 +102,14 @@ def write_config(wd: Path, epochs: int, batch_size: int) -> Path:
     })
     cfg["optim"].pop("early_stopping", None)
     cfg["logging"]["log_interval"] = 1
+    if tiny:
+        # CPU sanity variant: same chain (scan_layers + remat + convert +
+        # average + eval), toy dims — validates the CLI plumbing only
+        cfg["model"]["encoder"].update(
+            d_model=32, num_layers=2, num_heads=4, ffn_dim=64,
+            compute_dtype="float32",
+        )
+        cfg["model"]["projection_dim"] = 768
     path = wd / "scaled_single_chip.yaml"
     path.write_text(yaml.safe_dump(cfg, sort_keys=False))
     return path
@@ -122,12 +131,14 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--utts", type=int, default=96)
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--tiny", action="store_true",
+                   help="toy model dims for a CPU plumbing check")
     args = p.parse_args()
 
     wd = args.workdir
     wd.mkdir(parents=True, exist_ok=True)
     build_corpus(wd, args.utts)
-    cfg_path = write_config(wd, args.epochs, args.batch_size)
+    cfg_path = write_config(wd, args.epochs, args.batch_size, tiny=args.tiny)
 
     env = dict(os.environ)
     env["SSD_COMPILE_CACHE"] = str(wd / "compile_cache")

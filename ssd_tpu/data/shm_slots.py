@@ -72,12 +72,31 @@ class _SlotBuffer:
 Descriptor = Tuple[int, int, Dict[str, Tuple[int, Tuple[int, ...], str]]]
 
 
+def _dtype_token(dt: np.dtype) -> str:
+    """Serializable dtype identity. ``dt.str`` collapses extension dtypes
+    (ml_dtypes bfloat16/float8) to raw void ('|V2'), which jax then rejects —
+    transport those by NAME and resolve via ml_dtypes on the other side."""
+    return dt.name if dt.kind == "V" else dt.str
+
+
+def _resolve_dtype(token: str) -> np.dtype:
+    try:
+        dt = np.dtype(token)
+        if dt.kind != "V":
+            return dt
+    except TypeError:
+        pass
+    import ml_dtypes
+
+    return np.dtype(getattr(ml_dtypes, token))
+
+
 def _layout(arrays: Dict[str, np.ndarray]) -> Tuple[int, Dict]:
     off = 0
     fields: Dict[str, Tuple[int, Tuple[int, ...], str]] = {}
     for name, arr in arrays.items():
         off = _round_up(off, _ALIGN)
-        fields[name] = (off, arr.shape, arr.dtype.str)
+        fields[name] = (off, arr.shape, _dtype_token(arr.dtype))
         off += arr.nbytes
     return off, fields
 
@@ -133,7 +152,7 @@ class SlotPool:
         out = {}
         for name, (off, shape, dtype) in fields.items():
             out[name] = np.ndarray(
-                shape, dtype=np.dtype(dtype), buffer=sentinel, offset=off
+                shape, dtype=_resolve_dtype(dtype), buffer=sentinel, offset=off
             )
         return out
 

@@ -436,3 +436,33 @@ def test_emg_bf16_rejected_in_raw_mode(tmp_path):
             ["voiced_parallel_data"], ["train"], vocab, batch_size=2,
             raw=True, emg_dtype=ml_dtypes.bfloat16,
         )
+
+
+def test_num_workers_preserves_bf16_teacher_dtype(cache):
+    """REGRESSION (round 5): the shm worker hand-off serialized dtypes via
+    ``dtype.str``, which collapses ml_dtypes.bfloat16 to raw void ('|V2') —
+    jax then rejects the batch at device_put. bf16 teacher arrays must
+    round-trip the worker transport with their dtype identity AND bytes."""
+    import ml_dtypes
+
+    index_path, feats_root = cache
+    kw = dict(
+        splits=["voiced_parallel_data"],
+        subsets=None, vocab=default_vocab(), batch_size=2, shuffle=False,
+        include_teacher=True, strict=False,
+        teacher_dtype=ml_dtypes.bfloat16,
+    )
+    serial = make_dataloader(index_path, feats_root, **kw)
+    workers = make_dataloader(index_path, feats_root, num_workers=2, **kw)
+    try:
+        for sb, wb in zip(serial, workers):
+            assert wb.teacher.dtype == ml_dtypes.bfloat16, wb.teacher.dtype
+            np.testing.assert_array_equal(
+                sb.teacher.view(np.uint16), wb.teacher.view(np.uint16)
+            )
+            import jax.numpy as jnp
+
+            arr = jnp.asarray(wb.teacher)  # device_put must accept it
+            assert arr.dtype == jnp.bfloat16
+    finally:
+        workers.close()
