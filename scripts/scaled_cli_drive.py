@@ -199,7 +199,7 @@ def main() -> None:
             wd / "results/checkpoints/scaled_unrolled/last"),
         "roundtrip_bit_exact": True,
         "eval_cer": metrics.get("cer"),
-        "eval_p50_ms": metrics.get("latency", {}).get("p50_ms"),
+        "eval_decode_p50_s": metrics.get("decode_latency_sec", {}).get("p50"),
         "epochs": args.epochs,
         "utts": args.utts,
         "batch_size": args.batch_size,
