@@ -161,13 +161,17 @@ def main() -> None:
          "--to", "scan",
          "--output", wd / "results/checkpoints/scaled_rt"], env)
 
-    # bit-exactness of the round-trip (host-side orbax reads, no device)
-    from ssd_tpu.training.checkpoint import load_checkpoint
-
-    a = load_checkpoint(run_dir / "best")
-    b = load_checkpoint(wd / "results/checkpoints/scaled_rt/last")
+    # bit-exactness of the round-trip. Restore as RAW NUMPY (RestoreArgs
+    # with restore_type=np.ndarray): the default restore follows the saved
+    # sharding metadata onto the default device — on the remote axon backend
+    # that is 2×650 MB over the tunnel and this parent process then parks in
+    # the axon event loop (observed; utils/config "Known behaviors").
     import jax
 
+    from ssd_tpu.training.checkpoint import load_checkpoint_np
+
+    a = load_checkpoint_np(run_dir / "best")
+    b = load_checkpoint_np(wd / "results/checkpoints/scaled_rt/last")
     la = jax.tree_util.tree_leaves(a["params"])
     lb = jax.tree_util.tree_leaves(b["params"])
     assert len(la) == len(lb)
@@ -175,7 +179,7 @@ def main() -> None:
         not np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb)
     )
     assert n_bad == 0, f"round-trip params differ in {n_bad}/{len(la)} leaves"
-    n_params = sum(int(np.prod(x.shape)) for x in la)
+    n_params = sum(int(np.prod(np.shape(x))) for x in la)
 
     timings["average_s"] = run(
         [py, "-m", "ssd_tpu.training.average_checkpoints",

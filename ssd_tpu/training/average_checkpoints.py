@@ -25,7 +25,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from ssd_tpu.training.checkpoint import load_checkpoint, load_config_for
+from ssd_tpu.training.checkpoint import load_checkpoint_np, load_config_for
 
 logger = logging.getLogger(__name__)
 
@@ -76,7 +76,7 @@ def main(argv=None) -> None:
 
     paths = [Path(p).resolve() for p in args.checkpoints]
     cfg = load_config_for(paths[0])
-    payloads = [load_checkpoint(p) for p in paths]
+    payloads = [load_checkpoint_np(p) for p in paths]
     out_payload = average_payloads(payloads)
 
     out_dir = Path(args.output).resolve()

@@ -105,6 +105,27 @@ def load_checkpoint(path: Path, target: Optional[Dict[str, Any]] = None) -> Dict
     return ckptr.restore(path)
 
 
+def load_checkpoint_np(path: Path) -> Dict[str, Any]:
+    """Restore a checkpoint as RAW NUMPY, never touching a device.
+
+    The default restore follows the saved sharding metadata onto the default
+    device; on a remote backend (axon) that round-trips every leaf through
+    the tunnel — measured on the 166M `tpu_scaled_large` checkpoint:
+    numpy restore seconds vs ~16 min device-path (docs/PERF.md "Scaled
+    config through the product CLIs"). Host-side tools (layout converter,
+    checkpoint averaging, comparisons) must use this.
+    """
+    path = Path(path).resolve()
+    if not path.exists():
+        raise FileNotFoundError(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(str(path)).item_metadata.tree
+    rargs = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+    )
+    return ckptr.restore(str(path), restore_args=rargs)
+
+
 def load_config_for(path: Path) -> Dict[str, Any]:
     """Config stored next to a checkpoint dir (embedded-config contract)."""
     cfg_path = Path(path).resolve().parent / "config.json"

@@ -27,7 +27,7 @@ from pathlib import Path
 import orbax.checkpoint as ocp
 
 from ssd_tpu.models.conformer import stack_block_tree, unstack_block_tree
-from ssd_tpu.training.checkpoint import load_checkpoint, load_config_for
+from ssd_tpu.training.checkpoint import load_checkpoint_np, load_config_for
 
 logger = logging.getLogger(__name__)
 
@@ -93,7 +93,7 @@ def main(argv=None) -> None:
 
     ckpt = Path(args.checkpoint).resolve()
     cfg = load_config_for(ckpt)
-    payload = load_checkpoint(ckpt)
+    payload = load_checkpoint_np(ckpt)
     out_payload, out_cfg = convert_payload(payload, cfg, args.to)
 
     out_dir = Path(args.output).resolve()
