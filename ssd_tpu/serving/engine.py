@@ -277,13 +277,27 @@ class InferenceEngine:
             self.stats.record(per_utt)
         return hyps
 
-    def warmup(self, max_seconds: float = 12.0) -> None:
-        """Pre-compile the bucket grid so requests never hit a compile."""
+    def warmup(self, max_seconds: float = 12.0, grid: bool = False) -> None:
+        """Pre-compile serving executables so requests never hit a compile.
+
+        Default: every batch bucket at the longest sample bucket (fast
+        startup; requests at SHORTER length buckets still compile on first
+        hit — measured as the p99 outliers in docs/PERF.md "Serving under
+        concurrent load"). ``grid=True`` compiles every (batch × length)
+        bucket up to ``max_seconds`` — slower startup, flat p99; with a
+        persistent compile cache the cost is paid once per deployment.
+        """
         C = int(self.cfg["model"]["encoder"]["input_dim"]) // self.feat_cfg.n_mels
-        for b in BATCH_BUCKETS:
-            n_samples = int(max_seconds * self.feat_cfg.sample_rate)
-            arrays = [np.zeros((n_samples, C), np.float32)] * b
-            self.transcribe(arrays)
+        max_samples = int(max_seconds * self.feat_cfg.sample_rate)
+        if grid:
+            top = _round_up(max_samples, SAMPLE_BUCKET)  # cover max_seconds
+            lengths = list(range(SAMPLE_BUCKET, top + 1, SAMPLE_BUCKET))
+        else:
+            lengths = [max_samples]
+        for n_samples in lengths:
+            for b in BATCH_BUCKETS:
+                arrays = [np.zeros((n_samples, C), np.float32)] * b
+                self.transcribe(arrays)
         self.stats.samples.clear()
 
 

@@ -302,6 +302,7 @@ def serve(
     max_batch: int = 8,
     max_wait_ms: float = 10.0,
     warmup: bool = True,
+    warmup_grid: bool = False,
     lm_path: Path | None = None,
     alpha: float | None = None,
     beta: float | None = None,
@@ -321,7 +322,7 @@ def serve(
     )
     if warmup:
         logger.info("Warming compile cache…")
-        engine.warmup()
+        engine.warmup(grid=warmup_grid)
     batcher = MicroBatcher(engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher, engine))
     logger.info("Serving on :%d (decoder=%s)", port, decoder)
@@ -340,6 +341,12 @@ def main() -> None:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument(
+        "--warmup-grid", action="store_true",
+        help="Pre-compile EVERY (batch × length) bucket at startup — slower "
+        "start, flat p99 (no first-request-at-a-new-shape compiles; see "
+        "docs/PERF.md 'Serving under concurrent load').",
+    )
     p.add_argument("--lm-path", type=Path, help="ARPA LM for on-device fusion (beam only)")
     # None → fall back to the checkpoint config's decoding block (tuned
     # weights), then to 0.5/0.0 — mirrors the eval CLI's precedence
@@ -371,6 +378,7 @@ def main() -> None:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         warmup=not args.no_warmup,
+        warmup_grid=args.warmup_grid,
         lm_path=args.lm_path,
         alpha=args.alpha,
         beta=args.beta,

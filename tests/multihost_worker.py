@@ -168,10 +168,26 @@ def main() -> None:
     step_pp = make_train_step(
         model_pp, tx_pp, blank_id=vocab.blank_id, normalize_distill=False
     )
+    # The interleaved mesh replicates every data-shard across the two
+    # processes (each batch row has one device per process), so
+    # make_array_from_process_local_data sees each process's local batch as
+    # the FULL global batch: (a) both processes must feed IDENTICAL rows
+    # (replicas must agree — a shared seed, not the per-process slice), and
+    # (b) the global batch is B_pp itself, which must satisfy the pipeline
+    # contract B % (data_degree × microbatches) == 0 → 8 here.
+    rng_pp = np.random.default_rng(777)  # SAME on both processes
+    B_pp = 8
+    local_pp = {
+        "emg": rng_pp.normal(size=(B_pp, T, 16)).astype(np.float32),
+        "emg_lengths": np.full((B_pp,), T, np.int32),
+        "tokens": rng_pp.integers(2, vocab.size, size=(B_pp, S)).astype(np.int32),
+        "token_lengths": np.full((B_pp,), S, np.int32),
+        "weight": np.ones((B_pp,), np.float32),
+    }
     with mesh_pp:
         st = shard_state(mesh_pp, state_pp, fsdp=True, pipeline=True)
         st, pp_losses = step_pp(
-            st, shard_batch(mesh_pp, local),
+            st, shard_batch(mesh_pp, local_pp),
             np.asarray([1.0, 0.0], np.float32), jax.random.PRNGKey(9),
         )
         results["pp"] = {"loss": float(pp_losses["total"])}

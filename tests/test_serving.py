@@ -354,3 +354,22 @@ def test_feed_refreshes_idle_clock_at_op_end(ckpt):
     sessions.feed(sid, rng.normal(size=(400, 2)).astype(np.float32))
     after = sessions._sessions[sid][2]
     assert after > before
+
+
+def test_warmup_grid_covers_every_bucket(ckpt):
+    """warmup(grid=True) must pre-build every (batch x length) bucket
+    executable: a subsequent transcribe at ANY short length may not add a
+    new executable (the load-test p99 outliers were exactly these
+    first-request compiles)."""
+    engine = _engine(ckpt)
+    from ssd_tpu.serving import engine as engmod
+
+    engine.warmup(max_seconds=0.7, grid=True)
+    n_exec = engine._pipeline._cache_size()
+    rng = np.random.default_rng(5)
+    # lengths landing in the sample buckets warmed above (bucket 256)
+    for n in (200, 450, 640):
+        hyps = engine.transcribe([rng.normal(size=(n, 2)).astype(np.float32)])
+        assert len(hyps) == 1
+    assert engine._pipeline._cache_size() == n_exec, "transcribe added executables"
+    assert engine.stats.summary()["count"] == 3  # warmup cleared its samples
