@@ -173,7 +173,12 @@ def run_orchestrate(wd: Path, kill_after_records: int | None,
                 break
     proc.wait(timeout=600)
     wall = time.time() - t0
-    records = json.loads(summary.read_text()) if summary.exists() else []
+    # the SIGTERM above can land mid-write of summary.json — treat a torn
+    # file like a missing one (same guard as the polling read above)
+    try:
+        records = json.loads(summary.read_text()) if summary.exists() else []
+    except Exception:
+        records = []
     by_cell: dict = {}
     for r in records:
         key = f"{r['stage']}/{r['dataset']}"

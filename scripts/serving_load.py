@@ -152,13 +152,17 @@ def main() -> None:
         lat = np.asarray(sorted(latencies))
         d_batches = occ1["batches"] - occ0["batches"]
         d_items = occ1["items"] - occ0["items"]
+        # lat can be empty when every request errored — still print the row
+        # (it carries the error sample that explains the failure)
+        pct = (lambda q: round(float(np.percentile(lat, q)) * 1e3, 1)) \
+            if lat.size else (lambda q: None)
         row = {
             "clients": n_clients,
             "requests": len(latencies),
             "errors": errors[:5],
             "mismatches": len(mismatches),
-            "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
-            "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
+            "p50_ms": pct(50),
+            "p99_ms": pct(99),
             "wall_s": round(wall, 2),
             "req_per_sec": round(len(latencies) / wall, 2),
             "microbatch_occupancy": (

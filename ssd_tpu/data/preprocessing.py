@@ -118,7 +118,7 @@ def process_emg_rows(
         # (bucket rounding) never crosses the link. Measured on the remote
         # rig: whole-padded fetch 3.0 utt/s → per-utt slices 3.9 → sorted
         # batch-max fetch 8+ (docs/PERF.md "Offline featurization").
-        feats = np.asarray(feats_dev).astype(np.float32)
+        feats = np.asarray(feats_dev).astype(np.float32, copy=False)
         count = 0
         for i, row in enumerate(batch_rows):
             out = feats[i, : int(frame_lengths[i])]
@@ -153,10 +153,24 @@ def process_emg_rows(
         batch = np.zeros((len(pending), L_pad, C), np.float32)
         for i, (_, e) in enumerate(pending):
             batch[i, : e.shape[0]] = e
-        feats, frame_lengths, means, stds = logmel_batch(
+        feats, _, means, stds = logmel_batch(
             jnp.asarray(batch), jnp.asarray(lengths), cfg, fused=fused
         )
-        frame_lengths = np.asarray(frame_lengths)  # small; needed to slice
+        # Frame lengths are a pure function of the host-known sample lengths
+        # (ops/featurizer.py:127-130; rows shorter than n_fft were filtered
+        # above). Computing them HERE instead of fetching the device copy
+        # keeps this dispatch fully async — fetching them blocked on THIS
+        # batch's executable before write_out fetched the previous one,
+        # which made double_buffer a no-op (the device sat idle through
+        # every readback).
+        T_pad = cfg.frame_count(L_pad)
+        frame_lengths = np.clip(
+            1 + (lengths - cfg.n_fft) // cfg.hop_length, 0, T_pad
+        ).astype(np.int32)
+        # Enqueue the batch-max slice (+ optional bf16 cast) now, BEFORE the
+        # next batch's compute is dispatched, so the fetch in write_out is a
+        # pure device→host copy that rides the tunnel while the next batch
+        # computes.
         feats = feats[:, : int(frame_lengths.max())]
         if fetch_dtype == "bfloat16":
             feats = feats.astype(jnp.bfloat16)  # cast on DEVICE: halves bytes

@@ -397,6 +397,8 @@ class ConformerBlock(nn.Module):
         return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
 
 
+_ATTN_REMAT_WARNED = False
+
 _REMAT_POLICIES = {
     "full": None,  # save nothing — recompute the whole block in backward
     "dots": "checkpoint_dots",
@@ -410,13 +412,17 @@ def _block_cls(cfg: EncoderConfig):
         return ConformerBlock
     if cfg.attn_remat:
         # block-level remat already recomputes attention; the finer knob is
-        # inert here — say so once instead of silently ignoring the config
-        import logging
+        # inert here — say so once per process (this runs on every trace:
+        # init + each jit compile) instead of silently ignoring the config
+        global _ATTN_REMAT_WARNED
+        if not _ATTN_REMAT_WARNED:
+            _ATTN_REMAT_WARNED = True
+            import logging
 
-        logging.getLogger(__name__).warning(
-            "attn_remat=True is subsumed by remat=True (the whole block is "
-            "rematerialized); the attention-only knob has no effect."
-        )
+            logging.getLogger(__name__).warning(
+                "attn_remat=True is subsumed by remat=True (the whole block "
+                "is rematerialized); the attention-only knob has no effect."
+            )
     if cfg.remat_policy not in _REMAT_POLICIES:
         raise ValueError(
             f"remat_policy={cfg.remat_policy!r} — expected one of "

@@ -195,7 +195,12 @@ class StreamSessions:
         with lock:
             st.feed(emg)
             hyp = st.hypothesis
-        entry[2] = time.monotonic()  # idle clock starts when the op ENDS
+            # idle clock starts when the op ENDS — and the write must happen
+            # while the session lock is still held: after release, a stale
+            # timestamp + unlocked lock is exactly what _evict_idle reclaims,
+            # so writing it post-release reopens the evict-vs-feed race for
+            # the instant between unlock and the store
+            entry[2] = time.monotonic()
         return hyp
 
     def finish(self, sid: str, beam: bool = False) -> str:

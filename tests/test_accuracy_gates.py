@@ -43,7 +43,14 @@ GOLDENS = {
     "beam_lm": {"cer": 0.2167, "wer": 0.4688},
     "silent_finetune_cer": 0.3879,
 }
-GOLDEN_TOL = 0.05
+# Portability caveat: the goldens were measured on THIS host's XLA:CPU
+# build; 14 chaotic training epochs can amplify codegen-level fp
+# differences on a different arch/XLA version. The ceilings above are
+# platform-independent; re-pin via scripts/measure_gate_goldens.py (or
+# widen with SSD_GOLDEN_TOL) if the goldens drift on a new reference host.
+import os as _os
+
+GOLDEN_TOL = float(_os.environ.get("SSD_GOLDEN_TOL", "0.05"))
 
 
 def _pin(measured: dict, name: str) -> None:

@@ -342,18 +342,33 @@ def test_evict_idle_cannot_evict_mid_feed(ckpt):
 def test_feed_refreshes_idle_clock_at_op_end(ckpt):
     """The idle clock must start when a feed ENDS, not when it starts — a
     feed slower than the TTL must not be reclaimable the instant it
-    returns."""
+    returns. A plain ``after > before`` would also pass from the _get()-time
+    refresh at op START, so the assertion pins the END: the stored timestamp
+    must postdate a deliberate delay injected inside the feed itself."""
+    import time as _time
+
     from ssd_tpu.serving.server import StreamSessions
 
     engine = _engine(ckpt)
     sessions = StreamSessions(engine, idle_ttl_sec=3600.0)
     sid = sessions.start(chunk_frames=8, left_context_frames=16,
                          right_context_frames=8)
+    st = sessions._sessions[sid][0]
+    orig_feed = st.feed
+    delay = 0.15
+
+    def slow_feed(emg):
+        _time.sleep(delay)
+        return orig_feed(emg)
+
+    st.feed = slow_feed
     rng = np.random.default_rng(4)
-    before = sessions._sessions[sid][2]
+    t_start = _time.monotonic()
     sessions.feed(sid, rng.normal(size=(400, 2)).astype(np.float32))
     after = sessions._sessions[sid][2]
-    assert after > before
+    # refreshed at op END: strictly later than start + the injected delay
+    # (the op-start _get() refresh alone would leave it ≈ t_start)
+    assert after >= t_start + delay
 
 
 def test_warmup_grid_covers_every_bucket(ckpt):
