@@ -137,6 +137,17 @@ def main() -> None:
             ("bfloat16", False, "bf16"),
             ("bfloat16", True, "bf16+dbuf"),
         ):
+            # warm THIS arm first: the eager slice/cast/bitcast ops after the
+            # jitted featurizer compile per (arm, length-bucket) shape on the
+            # remote backend, and an arm's first pass otherwise pays those
+            # compiles inside its measured wall (which also gifts the NEXT
+            # arm a warm cache — the round-5 first cut mis-ranked the arms
+            # exactly this way)
+            process_emg_rows(
+                rows, tmp, args.workdir / "features_emg", cfg, overwrite=True,
+                batch_size=args.batch_size, fetch_dtype=fetch_dtype,
+                double_buffer=dbuf,
+            )
             t0 = time.time()
             n = process_emg_rows(
                 rows, tmp, args.workdir / "features_emg", cfg, overwrite=True,

@@ -118,7 +118,17 @@ def process_emg_rows(
         # (bucket rounding) never crosses the link. Measured on the remote
         # rig: whole-padded fetch 3.0 utt/s → per-utt slices 3.9 → sorted
         # batch-max fetch 8+ (docs/PERF.md "Offline featurization").
-        feats = np.asarray(feats_dev).astype(np.float32, copy=False)
+        feats = np.asarray(feats_dev)
+        if feats.dtype == np.uint16:
+            # bf16 fetch arrives bitcast as uint16 (raw memcpy off the
+            # device — np.asarray of an ml_dtypes bf16 array takes a slow
+            # element-wise conversion path in the remote client, measured
+            # ~40% SLOWER than fp32 despite half the bytes); reinterpret
+            # and upcast here, vectorized on the host
+            import ml_dtypes
+
+            feats = feats.view(ml_dtypes.bfloat16)
+        feats = feats.astype(np.float32, copy=False)
         count = 0
         for i, row in enumerate(batch_rows):
             out = feats[i, : int(frame_lengths[i])]
@@ -173,7 +183,15 @@ def process_emg_rows(
         # computes.
         feats = feats[:, : int(frame_lengths.max())]
         if fetch_dtype == "bfloat16":
-            feats = feats.astype(jnp.bfloat16)  # cast on DEVICE: halves bytes
+            # cast on DEVICE (halves fetch bytes), then bitcast to uint16 so
+            # the host fetch is a raw memcpy instead of the remote client's
+            # element-wise extension-dtype conversion; write_out views the
+            # bits back as bf16
+            import jax
+
+            feats = jax.lax.bitcast_convert_type(
+                feats.astype(jnp.bfloat16), jnp.uint16
+            )
         record = ([row for row, _ in pending], feats, frame_lengths, means, stds)
         pending = []
         count = 0
